@@ -1,0 +1,244 @@
+"""Palette → per-voxel / per-bond constant precomputation.
+
+Replicates the derived quantities of the reference engine:
+- per-voxel mass/inertia/damping factors (reference: VX_Voxel.cpp:95-128)
+- per-bond composite moduli and beam constants (reference: VX_Bond.cpp:65-173)
+- stability timestep (reference: VX_Sim.cpp:1693-1727 CalcMaxDt)
+
+All precompute is plain jnp so it jits and vmaps (e.g. per-rollout evolved
+stiffness for the land_water-style per-voxel E override).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from evosoro_tpu.core.types import Material, MaterialPalette, VoxelBody
+
+
+def palette_from_list(materials: Sequence[Material], dtype=jnp.float32) -> MaterialPalette:
+    """Pack Material entries into id-indexed arrays. Index 0 = empty space."""
+    n = max(m.id for m in materials) + 1
+    f = {k: np.zeros(n) for k in (
+        "elastic_mod", "density", "poisson", "cte", "u_static", "u_dynamic",
+        "plastic_mod", "yield_stress", "fail_stress", "fail_strain",
+        "mat_temp_phase")}
+    mat_model = np.zeros(n, dtype=np.int32)
+    for m in materials:
+        f["elastic_mod"][m.id] = m.elastic_mod
+        f["density"][m.id] = m.density
+        f["poisson"][m.id] = m.poissons_ratio
+        f["cte"][m.id] = m.cte
+        f["u_static"][m.id] = m.u_static
+        f["u_dynamic"][m.id] = m.u_dynamic
+        f["plastic_mod"][m.id] = m.plastic_mod
+        f["yield_stress"][m.id] = m.yield_stress
+        f["fail_stress"][m.id] = m.fail_stress
+        f["fail_strain"][m.id] = m.fail_strain
+        f["mat_temp_phase"][m.id] = m.mat_temp_phase
+        mat_model[m.id] = m.mat_model
+    return MaterialPalette(
+        **{k: jnp.asarray(v, dtype=dtype) for k, v in f.items()},
+        mat_model=jnp.asarray(mat_model),
+        num_materials=n - 1,
+    )
+
+
+def _safe_div(a, b):
+    return jnp.where(b != 0, a / jnp.where(b != 0, b, 1.0), 0.0)
+
+
+def build_body(
+    structure,
+    palette: MaterialPalette,
+    lattice_dim=0.01,
+    phase_offset=None,
+    final_phase_offset=None,
+    temp_amp_damp=None,
+    final_temp_amp_damp=None,
+    initial_voxel_size=None,
+    final_voxel_size=None,
+    growth_time=None,
+    start_growth_time=None,
+    stiffness=None,
+    dof_fixed=None,
+    external_force=None,
+    external_disp=None,
+    external_tdisp=None,
+    dtype=jnp.float32,
+) -> VoxelBody:
+    """Build the static VoxelBody from a (X,Y,Z) int array of material ids.
+
+    `stiffness` optionally overrides the palette elastic modulus per voxel
+    (land_water fork's evolved-stiffness capability: VX_Object.cpp:1474).
+    Optional per-voxel arrays mirror the VXC <PhaseOffset>/<Stiffness>/... tags
+    (reference: VX_Object.h:183-258).
+    """
+    structure = jnp.asarray(structure, dtype=jnp.int32)
+    X, Y, Z = structure.shape
+    occ = structure > 0
+    L = jnp.asarray(lattice_dim, dtype=dtype)
+
+    def g(field):  # gather palette property per voxel
+        return jnp.asarray(field, dtype=dtype)[structure]
+
+    e_mod = g(palette.elastic_mod)
+    if stiffness is not None:
+        s = jnp.asarray(stiffness, dtype=dtype)
+        e_mod = jnp.where((s > 0) & occ, s, e_mod)
+    density = g(palette.density)
+    poisson = g(palette.poisson)
+    cte = g(palette.cte)
+    u_static = g(palette.u_static)
+    u_dynamic = g(palette.u_dynamic)
+
+    # voxel centers at (i+0.5)*L (reference: VX_Object.cpp:538-543 GetXYZ)
+    ix, iy, iz = jnp.meshgrid(
+        jnp.arange(X), jnp.arange(Y), jnp.arange(Z), indexing="ij"
+    )
+    nom_pos = (jnp.stack([ix, iy, iz], axis=-1).astype(dtype) + 0.5) * L
+
+    # mass/inertia (reference: VX_Voxel.cpp:109-125)
+    vol = L * L * L
+    mass = jnp.where(occ, vol * density, 0.0)
+    inertia = mass * (L * L) / 6.0
+    first_moment = mass * L / 2.0
+    mass_inv = _safe_div(jnp.ones_like(mass), mass)
+    inertia_inv = _safe_div(jnp.ones_like(inertia), inertia)
+    two_sq_mexs = 2.0 * jnp.sqrt(mass * e_mod * L)
+    two_sq_iexsss = 2.0 * jnp.sqrt(inertia * e_mod * L * L * L)
+    lin_stiffness = 2.0 * e_mod * L  # floor normal stiffness (VX_Voxel.h:64)
+
+    # ---- per-bond constants (3,X,Y,Z) ----
+    def nbr(a, d):  # value at +d neighbor (wrapped values get masked out)
+        return jnp.roll(a, -1, axis=d)
+
+    def edge_ok(d):  # True except on the last slab along axis d
+        idx = [ix, iy, iz][d]
+        return idx < structure.shape[d] - 1
+
+    bm, bhom, be, be1, be2 = [], [], [], [], []
+    for d in range(3):
+        occ2 = nbr(occ, d)
+        mask = occ & occ2 & edge_ok(d)
+        e1, e2 = e_mod, nbr(e_mod, d)
+        bm.append(mask)
+        bhom.append(mask & (structure == nbr(structure, d)))
+        be.append(jnp.where(mask, 2.0 * _safe_div(e1 * e2, e1 + e2), 0.0))
+        be1.append(jnp.where(mask, e1, 0.0))
+        be2.append(jnp.where(mask, e2, 0.0))
+    bond_mask = jnp.stack(bm)
+    bond_homogeneous = jnp.stack(bhom)
+    bond_e = jnp.stack(be)
+    bond_e1 = jnp.stack(be1)
+    bond_e2 = jnp.stack(be2)
+
+    # composite Poisson 2*u1*u2/(u1+u2) (reference: VX_Bond.cpp:91-92)
+    u1 = jnp.broadcast_to(poisson, (3, X, Y, Z))
+    u2 = jnp.stack([nbr(poisson, d) for d in range(3)])
+    bond_u = jnp.where(u1 + u2 != 0, 2.0 * _safe_div(u1 * u2, u1 + u2), 0.0)
+    del bond_u  # used only by volume effects; recomputed there
+
+    # beam geometry for cubic section (reference: VX_Bond.cpp:123-141):
+    # A=L², Iy=Iz=L⁴/12, J=L⁴/6
+    A = L * L
+    I = L ** 4 / 12.0
+    J = L ** 4 / 6.0
+    G_over_E = 1.0 / (2.0 * (1.0 + jnp.where(u1 + u2 != 0, 2.0 * _safe_div(u1 * u2, u1 + u2), 0.0)))
+    bond_a1 = bond_e * A / L
+    bond_a2 = bond_e * G_over_E * J / L  # G*J/L with G = E/(2(1+u))
+    bond_b1 = 12.0 * bond_e * I / L ** 3
+    bond_b2 = 6.0 * bond_e * I / L ** 2
+    bond_b3 = 2.0 * bond_e * I / L
+
+    # critical damping coefficients 2*sqrt(k*m) (reference: VX_Bond.cpp:149-170)
+    m1 = jnp.broadcast_to(mass, (3, X, Y, Z))
+    m2 = jnp.stack([nbr(mass, d) for d in range(3)])
+    i1 = jnp.broadcast_to(inertia, (3, X, Y, Z))
+    i2 = jnp.stack([nbr(inertia, d) for d in range(3)])
+    fm1 = jnp.broadcast_to(first_moment, (3, X, Y, Z))
+    fm2 = jnp.stack([nbr(first_moment, d) for d in range(3)])
+
+    def dcoef(k, m):
+        return 2.0 * jnp.sqrt(jnp.maximum(k * m, 0.0))
+
+    zeros = jnp.zeros((X, Y, Z), dtype=dtype)
+
+    def opt(a, like=zeros):
+        return jnp.asarray(a, dtype=dtype) if a is not None else like
+
+    return VoxelBody(
+        occ=occ,
+        mat=structure,
+        nom_pos=nom_pos,
+        nominal_size=L,
+        mass=mass,
+        mass_inv=mass_inv,
+        inertia=inertia,
+        inertia_inv=inertia_inv,
+        first_moment=first_moment,
+        e_mod=e_mod,
+        poisson=poisson,
+        cte=cte,
+        u_static=u_static,
+        u_dynamic=u_dynamic,
+        lin_stiffness=lin_stiffness,
+        two_sq_mexs=two_sq_mexs,
+        two_sq_iexsss=two_sq_iexsss,
+        phase_offset=opt(phase_offset),
+        final_phase_offset=opt(final_phase_offset),
+        temp_amp_damp=opt(temp_amp_damp, jnp.ones((X, Y, Z), dtype=dtype)),
+        final_temp_amp_damp=opt(final_temp_amp_damp, jnp.ones((X, Y, Z), dtype=dtype)),
+        initial_voxel_size=opt(initial_voxel_size),
+        final_voxel_size=opt(final_voxel_size),
+        growth_time=opt(growth_time),
+        start_growth_time=opt(start_growth_time),
+        dof_fixed=(jnp.asarray(dof_fixed, dtype=jnp.int32)
+                   if dof_fixed is not None else jnp.zeros((X, Y, Z), jnp.int32)),
+        external_force=opt(external_force, jnp.zeros((X, Y, Z, 3), dtype=dtype)),
+        external_disp=opt(external_disp, jnp.zeros((X, Y, Z, 3), dtype=dtype)),
+        external_tdisp=opt(external_tdisp, jnp.zeros((X, Y, Z, 3), dtype=dtype)),
+        bond_mask=bond_mask,
+        bond_homogeneous=bond_homogeneous,
+        bond_e=bond_e,
+        bond_e1=bond_e1,
+        bond_e2=bond_e2,
+        bond_a1=bond_a1,
+        bond_a2=bond_a2,
+        bond_b1=bond_b1,
+        bond_b2=bond_b2,
+        bond_b3=bond_b3,
+        d_a1m1=dcoef(bond_a1, m1),
+        d_a1m2=dcoef(bond_a1, m2),
+        d_a2i1=dcoef(bond_a2, i1),
+        d_a2i2=dcoef(bond_a2, i2),
+        d_b1m1=dcoef(bond_b1, m1),
+        d_b1m2=dcoef(bond_b1, m2),
+        d_b2fm1=dcoef(bond_b2, fm1),
+        d_b2fm2=dcoef(bond_b2, fm2),
+        d_b3i1=dcoef(bond_b3, i1),
+        d_b3i2=dcoef(bond_b3, i2),
+        using_phase_offset=phase_offset is not None,
+        using_final_phase_offset=final_phase_offset is not None,
+        using_temp_amp_damp=temp_amp_damp is not None,
+        using_final_temp_amp_damp=final_temp_amp_damp is not None,
+        using_initial_voxel_size=initial_voxel_size is not None,
+        using_final_voxel_size=final_voxel_size is not None,
+        using_growth_time=growth_time is not None,
+        using_start_growth_time=start_growth_time is not None,
+    )
+
+
+def calc_max_dt(body: VoxelBody) -> jnp.ndarray:
+    """Stability timestep 1/(2π·max√(k/m)) over all bonds
+    (reference: VX_Sim.cpp:1693-1727; k = a1 linear stiffness)."""
+    m1 = jnp.broadcast_to(body.mass, body.bond_a1.shape)
+    m2 = jnp.stack([jnp.roll(body.mass, -1, axis=d) for d in range(3)])
+    f2_1 = jnp.where(body.bond_mask, _safe_div(body.bond_a1, m1), 0.0)
+    f2_2 = jnp.where(body.bond_mask, _safe_div(body.bond_a1, m2), 0.0)
+    max_freq2 = jnp.maximum(jnp.max(f2_1), jnp.max(f2_2))
+    max_freq = jnp.sqrt(max_freq2)
+    return jnp.where(max_freq > 0, 1.0 / (2.0 * jnp.pi * max_freq), 0.0)

@@ -1,0 +1,610 @@
+"""One physics timestep over the dense voxel lattice — fused 3D stencil.
+
+This is the TPU-native re-design of the reference per-step hot path
+(reference call stack: VX_Sim.cpp:1054 TimeStep → 1763 Integrate →
+VXS_BondInternal.cpp:56 CalcLinForce → VXS_Voxel.cpp:169 EulerStep).
+Instead of bond/voxel object arrays with pointers, everything is dense
+`(X,Y,Z)` arrays; bonds live on the 3 positive lattice directions and each
+voxel gathers its 6 neighbor force contributions by shifted reads — a
+stencil XLA maps onto the VPU with full fusion (a Pallas version of the
+same math lives in `evosoro_tpu.ops`).
+
+All branches of the reference become `jnp.where` selections, which keeps
+the update traceable, differentiable, and batchable with `vmap`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from evosoro_tpu.core import quaternion as q
+from evosoro_tpu.core.constants import (
+    DEFAULT_PRECISION,
+    DIVERGENCE_STRAIN,
+    HYSTERESIS_FACTOR,
+    SA_BOND_EXT_PERC,
+    Precision,
+)
+from evosoro_tpu.core.types import (
+    DOF_TX,
+    DOF_TY,
+    DOF_TZ,
+    DOF_X,
+    DOF_Y,
+    DOF_Z,
+    EnvParams,
+    SimParams,
+    SimState,
+    VoxelBody,
+)
+
+
+def _safe_div(a, b):
+    nz = b != 0
+    return jnp.where(nz, a / jnp.where(nz, b, 1.0), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Axis-frame permutations (reference: VX_Bond.h:45-48 ToXDirBond/ToOrigDirBond)
+# ---------------------------------------------------------------------------
+
+def _to_x_vec(d, v):
+    """Rotate a vector so bond axis d looks like +X (90° lattice rotation)."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    if d == 0:
+        return v
+    if d == 1:  # AXIS_Y: new = (y, -x, z)
+        return jnp.stack([y, -x, z], axis=-1)
+    return jnp.stack([z, y, -x], axis=-1)  # AXIS_Z: new = (z, y, -x)
+
+
+def _to_orig_vec(d, v):
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    if d == 0:
+        return v
+    if d == 1:  # inverse of AXIS_Y: new = (-y, x, z)
+        return jnp.stack([-y, x, z], axis=-1)
+    return jnp.stack([-z, y, x], axis=-1)
+
+
+def _to_x_quat(d, quat):
+    w = quat[..., :1]
+    return jnp.concatenate([w, _to_x_vec(d, quat[..., 1:])], axis=-1)
+
+
+def _nbr(a, d):
+    """Value of the +d neighbor; wrapped entries are masked by bond_mask."""
+    return jnp.roll(a, -1, axis=d)
+
+
+def _from_nbr(a, d):
+    """Bring a per-bond value back to the voxel at -d of the bond owner."""
+    return jnp.roll(a, 1, axis=d)
+
+
+# ---------------------------------------------------------------------------
+# Bond forces (reference: VXS_BondInternal.cpp:56-187 CalcLinForce
+#              + 189-307 UpdateBondStrain + 310-346 AddDampForces)
+# ---------------------------------------------------------------------------
+
+def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
+                      dt, prec: Precision):
+    mask = body.bond_mask[d]
+    maskf = mask[..., None]
+    L = body.nominal_size
+
+    rel = _to_x_vec(d, _nbr(state.pos, d) - state.pos)
+    q1 = _to_x_quat(d, state.quat)
+    q2 = _to_x_quat(d, _nbr(state.quat, d))
+
+    ang1_rel = q.quat_rotate_inv(q1, rel)
+    new_ang2 = q.quat_multiply(q.quat_conjugate(q1), q2)
+
+    if sim.volume_effects_enabled:
+        nom_dist = jnp.broadcast_to(L, mask.shape)
+    else:
+        nom_dist = (state.scale + _nbr(state.scale, d)) * 0.5
+
+    rx, ry, rz = ang1_rel[..., 0], ang1_rel[..., 1], ang1_rel[..., 2]
+    small_turn = _safe_div(jnp.abs(rz) + jnp.abs(ry), rx)
+    extend_perc = _safe_div(rx, nom_dist)
+
+    sa_prev = state.small_angle[d]
+    go_small = (
+        (~sa_prev)
+        & q.quat_is_small_angle(new_ang2, prec)
+        & (small_turn < prec.sa_bond_bend_rad)
+        & (extend_perc < SA_BOND_EXT_PERC)
+    )
+    go_large = sa_prev & (
+        (~q.quat_is_smallish_angle(new_ang2, prec))
+        | (small_turn > HYSTERESIS_FACTOR * prec.sa_bond_bend_rad)
+        | (extend_perc > HYSTERESIS_FACTOR * SA_BOND_EXT_PERC)
+    )
+    small = jnp.where(go_small, True, jnp.where(go_large, False, sa_prev))
+    changed = go_small | go_large
+
+    # --- small-angle frame (reference: :87-100) ---
+    a2_small = q.quat_to_rotation_vector(new_ang2, prec)
+    pos2_small = ang1_rel.at[..., 0].add(-nom_dist)
+    totrot_small = q.quat_conjugate(q1)
+
+    # --- large-angle frame (reference: :101-118) ---
+    p2ar = q.quat_from_angle_to_pos_x(ang1_rel, prec)
+    totrot_large = q.quat_multiply(p2ar, q.quat_conjugate(q1))
+    length = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    pos2_large = jnp.stack(
+        [length - nom_dist, jnp.zeros_like(length), jnp.zeros_like(length)], axis=-1
+    )
+    a1_large = q.quat_to_rotation_vector(p2ar, prec)
+    a2_large = q.quat_to_rotation_vector(q.quat_multiply(totrot_large, q2), prec)
+
+    sm = small[..., None]
+    _pos2 = jnp.where(sm, pos2_small, pos2_large)
+    _a1 = jnp.where(sm, jnp.zeros_like(a1_large), a1_large)
+    _a2 = jnp.where(sm, a2_small, a2_large)
+    totrot = jnp.where(sm, totrot_small, totrot_large)
+
+    # --- axial strain & two-material stress (reference: :189-307) ---
+    strain = _safe_div(_pos2[..., 0], L)
+    E1, E2, E = body.bond_e1[d], body.bond_e2[d], body.bond_e[d]
+    s_sum = E1 + E2
+    # reference iterates strains until per-side stresses agree within 0.05%;
+    # for linear materials the fixed point is exact after one iteration, and
+    # the entry tolerance |S1-S2| <= 5e-4·|S1+S2| reduces to a modulus test:
+    near_equal = jnp.abs(E1 - E2) <= 0.0005 * jnp.abs(s_sum)
+    hom = body.bond_homogeneous[d] | near_equal
+    stress = jnp.where(hom, 0.5 * s_sum * strain, E * strain)
+    sv1 = jnp.where(hom, strain, 2.0 * _safe_div(E2, s_sum) * strain)
+    sv2 = jnp.where(hom, strain, 2.0 * _safe_div(E1, s_sum) * strain)
+
+    if sim.plasticity_enabled:
+        new_territory = strain >= state.max_strain[d]
+        stress = jnp.where(
+            new_territory, stress, E * (strain - state.strain_offset[d])
+        )
+        max_strain = jnp.maximum(state.max_strain[d], strain)
+        strain_offset = jnp.where(
+            new_territory, max_strain - _safe_div(stress, E), state.strain_offset[d]
+        )
+    else:
+        max_strain = jnp.maximum(state.max_strain[d], strain)
+        strain_offset = state.strain_offset[d]
+
+    # --- beam forces/moments, bond frame (reference: :122-154) ---
+    a2c, b1, b2, b3 = body.bond_a2[d], body.bond_b1[d], body.bond_b2[d], body.bond_b3[d]
+    cs_area = L * L  # CSArea1 = CSArea2 = NominalSize² w/o volume effects
+    p2y, p2z = _pos2[..., 1], _pos2[..., 2]
+    a1x, a1y, a1z = _a1[..., 0], _a1[..., 1], _a1[..., 2]
+    a2x, a2y, a2z = _a2[..., 0], _a2[..., 1], _a2[..., 2]
+
+    f1 = jnp.stack(
+        [
+            stress * cs_area,
+            b1 * p2y - b2 * (a1z + a2z),
+            b1 * p2z + b2 * (a1y + a2y),
+        ],
+        axis=-1,
+    )
+    f2 = -f1
+    m1 = jnp.stack(
+        [
+            a2c * (a1x - a2x),
+            b2 * p2z + b3 * (2.0 * a1y + a2y),
+            -b2 * p2y + b3 * (2.0 * a1z + a2z),
+        ],
+        axis=-1,
+    )
+    m2 = jnp.stack(
+        [
+            a2c * (a2x - a1x),
+            b2 * p2z + b3 * (a1y + 2.0 * a2y),
+            -b2 * p2y + b3 * (a1z + 2.0 * a2z),
+        ],
+        axis=-1,
+    )
+
+    # --- critical damping from frame-state memory (reference: :310-346) ---
+    dt_inv = _safe_div(jnp.ones_like(L), dt)
+    bondz = 0.5 * sim.bond_damping_z
+    rv = (_pos2 - state.last_pos2[d]) * dt_inv
+    rav1 = (_a1 - state.last_angle1[d]) * dt_inv
+    rav2 = (_a2 - state.last_angle2[d]) * dt_inv
+    rvx, rvy, rvz = rv[..., 0], rv[..., 1], rv[..., 2]
+    sum_avz = rav1[..., 2] + rav2[..., 2]
+    sum_avy = rav1[..., 1] + rav2[..., 1]
+    dmp = (~changed) & (dt > 0)
+
+    df1 = bondz * jnp.stack(
+        [
+            body.d_a1m1[d] * rvx,
+            body.d_b1m1[d] * rvy - body.d_b2fm1[d] * sum_avz,
+            body.d_b1m1[d] * rvz + body.d_b2fm1[d] * sum_avy,
+        ],
+        axis=-1,
+    )
+    df2 = bondz * jnp.stack(
+        [
+            -body.d_a1m2[d] * rvx,
+            -body.d_b1m2[d] * rvy + body.d_b2fm2[d] * sum_avz,
+            -body.d_b1m2[d] * rvz - body.d_b2fm2[d] * sum_avy,
+        ],
+        axis=-1,
+    )
+    davx = rav2[..., 0] - rav1[..., 0]
+    dm1 = (0.5 * bondz) * jnp.stack(
+        [
+            -body.d_a2i1[d] * davx,
+            body.d_b2fm1[d] * rvz + body.d_b3i1[d] * (2.0 * rav1[..., 1] + rav2[..., 1]),
+            -body.d_b2fm1[d] * rvy + body.d_b3i1[d] * (2.0 * rav1[..., 2] + rav2[..., 2]),
+        ],
+        axis=-1,
+    )
+    dm2 = (0.5 * bondz) * jnp.stack(
+        [
+            body.d_a2i2[d] * davx,
+            body.d_b2fm2[d] * rvz + body.d_b3i2[d] * (rav1[..., 1] + 2.0 * rav2[..., 1]),
+            -body.d_b2fm2[d] * rvy + body.d_b3i2[d] * (rav1[..., 2] + 2.0 * rav2[..., 2]),
+        ],
+        axis=-1,
+    )
+    dmpf = dmp[..., None]
+    f1 = f1 + jnp.where(dmpf, df1, 0.0)
+    f2 = f2 + jnp.where(dmpf, df2, 0.0)
+    m1 = m1 + jnp.where(dmpf, dm1, 0.0)
+    m2 = m2 + jnp.where(dmpf, dm2, 0.0)
+
+    # --- back to world frame (reference: :159-170) ---
+    f1 = _to_orig_vec(d, q.quat_rotate_inv(totrot, f1))
+    f2 = _to_orig_vec(d, q.quat_rotate_inv(totrot, f2))
+    m1 = _to_orig_vec(d, q.quat_rotate_inv(totrot, m1))
+    m2 = _to_orig_vec(d, q.quat_rotate_inv(totrot, m2))
+
+    f1 = jnp.where(maskf, f1, 0.0)
+    f2 = jnp.where(maskf, f2, 0.0)
+    m1 = jnp.where(maskf, m1, 0.0)
+    m2 = jnp.where(maskf, m2, 0.0)
+
+    return dict(
+        f1=f1, f2=f2, m1=m1, m2=m2,
+        sv1=jnp.where(mask, sv1, 0.0),
+        sv2=jnp.where(mask, sv2, 0.0),
+        strain=jnp.where(mask, strain, 0.0),
+        small_angle=jnp.where(mask, small, sa_prev),
+        last_pos2=jnp.where(maskf, _pos2, 0.0),
+        last_angle1=jnp.where(maskf, _a1, 0.0),
+        last_angle2=jnp.where(maskf, _a2, 0.0),
+        max_strain=jnp.where(mask, max_strain, 0.0),
+        strain_offset=jnp.where(mask, strain_offset, 0.0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Floor contact + Coulomb friction (reference: VXS_Voxel.cpp:677-758)
+# ---------------------------------------------------------------------------
+
+def _floor_effect(state, body, sim: SimParams, env: EnvParams, vel, total_force, dt):
+    """Returns (floor_force, static_fric_mask, linmom, vel) with the
+    reference's in-place momentum zeroing replicated."""
+    pos = state.pos
+    linmom = state.linmom
+
+    if not env.floor_limited:
+        inside = jnp.ones(body.occ.shape, dtype=bool)
+    else:
+        X, Y, _ = body.occ.shape
+        center_x = body.nominal_size * X * 0.5
+        center_y = body.nominal_size * Y * 0.5
+        r = jnp.sqrt((pos[..., 0] - center_x) ** 2 + (pos[..., 1] - center_y) ** 2)
+        inside = (r <= env.floor_radius) & (pos[..., 2] >= 0)
+
+    pen = 0.5 * state.scale - pos[..., 2]
+    pen = jnp.where(inside & (pen > 0), pen, 0.0)
+    contact = pen > 0
+
+    normal_force = body.lin_stiffness * pen
+    fz = normal_force - sim.col_damping_z * body.two_sq_mexs * vel[..., 2]
+    fz = jnp.where(contact, fz, 0.0)
+
+    static_flag = jnp.zeros(contact.shape, dtype=bool)
+
+    # sticky floor (reference: :736-739)
+    if env.sticky_floor:
+        stick = contact
+        linmom = linmom.at[..., 0].set(jnp.where(stick, 0.0, linmom[..., 0]))
+        linmom = linmom.at[..., 1].set(jnp.where(stick, 0.0, linmom[..., 1]))
+        vel = vel.at[..., 0].set(jnp.where(stick, 0.0, vel[..., 0]))
+        vel = vel.at[..., 1].set(jnp.where(stick, 0.0, vel[..., 1]))
+        static_flag = static_flag | stick
+
+    vx, vy = vel[..., 0], vel[..., 1]
+    stopped = (vx == 0.0) & (vy == 0.0)
+    surface_vel = jnp.sqrt(vx * vx + vy * vy)
+    surface_force = jnp.sqrt(
+        total_force[..., 0] ** 2 + total_force[..., 1] ** 2
+    )
+    dyn_fric = body.u_dynamic * normal_force
+
+    # static: stopped & insufficient lateral force to break away (:741-743)
+    static_flag = static_flag | (
+        contact & stopped & (surface_force < body.u_static * normal_force)
+    )
+
+    # dynamic: friction opposes velocity unless it would reverse it (:744-753)
+    moving = contact & ~stopped
+    keeps_moving = dyn_fric * dt < body.mass * surface_vel
+    inv_sv = _safe_div(jnp.ones_like(surface_vel), surface_vel)
+    fric_x = -vx * inv_sv * dyn_fric
+    fric_y = -vy * inv_sv * dyn_fric
+    fx = jnp.where(moving & keeps_moving, fric_x, 0.0)
+    fy = jnp.where(moving & keeps_moving, fric_y, 0.0)
+    stopping = moving & ~keeps_moving
+    static_flag = static_flag | stopping
+    linmom = linmom.at[..., 0].set(jnp.where(stopping, 0.0, linmom[..., 0]))
+    linmom = linmom.at[..., 1].set(jnp.where(stopping, 0.0, linmom[..., 1]))
+
+    floor_force = jnp.stack([fx, fy, fz], axis=-1)
+    return floor_force, static_flag, linmom, vel
+
+
+# ---------------------------------------------------------------------------
+# Actuation / development scale update (reference: VXS_Voxel.cpp:224-412)
+# ---------------------------------------------------------------------------
+
+def _scale_update(state, body, sim: SimParams, env: EnvParams, t):
+    nom = jnp.broadcast_to(body.nominal_size, state.scale.shape)
+    max_scale = (1.0 + env.growth_amplitude) * nom
+    min_scale = sim.min_temp_fact * nom
+    last = state.last_scale
+
+    # prenatal linear development ramp (reference: :237-238)
+    if body.using_initial_voxel_size:
+        c = jnp.where(
+            t >= 0.5 * sim.init_cm_time,
+            1.0,
+            _safe_div(2.0 * t, sim.init_cm_time),
+        )
+        prenatal = c * (_safe_div(body.initial_voxel_size, nom) - 1.0)
+    else:
+        prenatal = jnp.zeros_like(nom)
+
+    # postnatal development (reference: :263-289)
+    dev_temp_fact = jnp.zeros_like(nom)
+    dev_phase = jnp.zeros_like(nom)
+    dev_ampdamp = jnp.zeros_like(nom)
+    if body.using_growth_time or body.using_final_voxel_size:
+        growing = (t >= body.start_growth_time) & (body.growth_time > 0)
+        eff_t = jnp.minimum(t, body.start_growth_time + body.growth_time)
+        k = jnp.where(
+            growing, _safe_div(eff_t - body.start_growth_time, body.growth_time), 0.0
+        )
+        if body.using_final_voxel_size:
+            dev_temp_fact = k * (
+                _safe_div(body.final_voxel_size, body.initial_voxel_size) - 1.0
+            )
+        if body.using_final_phase_offset:
+            dev_phase = k * (body.final_phase_offset - body.phase_offset)
+        if body.using_final_temp_amp_damp:
+            dev_ampdamp = k * (body.final_temp_amp_damp - body.temp_amp_damp)
+
+    # thermal actuation control term (reference: :292-305).
+    # Note: this samples the per-voxel sinusoid directly from sim time; the
+    # env's global CurTemp only matters for volume-effects thermal stress.
+    if env.temp_enabled:
+        phase = body.phase_offset + dev_phase
+        amp_damp = body.temp_amp_damp + dev_ampdamp
+        ctrl = (
+            amp_damp
+            * env.temp_amplitude
+            * jnp.sin(2.0 * jnp.pi * (t / env.temp_period + phase))
+            * body.cte
+        )
+        ctrl = jnp.where(t >= sim.init_cm_time, ctrl, 0.0)
+    else:
+        ctrl = jnp.zeros_like(nom)
+
+    # size-capped actuation for devo bodies (reference: :308-320)
+    if body.using_initial_voxel_size or body.using_final_voxel_size:
+        curr_size = (1.0 + prenatal) * (1.0 + dev_temp_fact) * nom
+        orig_sig = _safe_div(_safe_div(curr_size, nom) - 1.0, env.growth_amplitude)
+        pos_sig = (orig_sig + 1.0) * 0.5
+        capped = jnp.minimum(pos_sig, 0.5)
+        ctrl = ctrl * capped * 2.0
+
+    curr = ctrl * nom + (1.0 + prenatal) * (1.0 + dev_temp_fact) * nom
+    curr = jnp.where((curr < last) & (curr < min_scale), last, curr)
+    curr = jnp.where((curr > last) & (curr > max_scale), last, curr)
+    return jnp.where(body.occ, curr, nom)
+
+
+# ---------------------------------------------------------------------------
+# The full step
+# ---------------------------------------------------------------------------
+
+def sim_step(
+    state: SimState,
+    body: VoxelBody,
+    sim: SimParams,
+    env: EnvParams,
+    dt,
+    prec: Precision = DEFAULT_PRECISION,
+    control_offset=None,
+) -> SimState:
+    """Advance one dt (reference: VX_Sim.cpp:1763 Integrate).
+
+    `control_offset` optionally adds a per-voxel phase-free actuation term to
+    the thermal control factor — the MPC hook (see control/). It is applied
+    by temporarily shifting `body.phase_offset`-driven ctrl via addition.
+    """
+    t = state.time
+    occ = body.occ
+    occf = occ[..., None]
+
+    # ---- bond pass (3 lattice directions) ----
+    bonds = [_bond_axis_forces(d, state, body, sim, dt, prec) for d in range(3)]
+
+    diverged_now = state.diverged
+    for d in range(3):
+        diverged_now = diverged_now | jnp.any(
+            jnp.abs(bonds[d]["strain"]) > DIVERGENCE_STRAIN
+        )
+
+    # ---- per-voxel force accumulation (reference: VXS_Voxel.cpp:482-651) ----
+    vel = state.linmom * body.mass_inv[..., None]
+    total_force = -sim.slow_damping_z * vel * body.two_sq_mexs[..., None]
+    for d in range(3):
+        total_force = total_force + bonds[d]["f1"] + _from_nbr(bonds[d]["f2"], d)
+
+    gravity_on = env.gravity_enabled and not env.fluid_environment
+    if gravity_on:
+        total_force = total_force.at[..., 2].add(body.mass * env.grav_acc)
+    total_force = total_force + body.external_force
+
+    if env.fluid_environment:
+        total_force = total_force + _fluid_drag(state, body, env, vel)
+
+    linmom = state.linmom
+    floor_on = env.floor_enabled and not env.fluid_environment
+    if floor_on:
+        floor_force, static_flag, linmom, vel = _floor_effect(
+            state, body, sim, env, vel, total_force, dt
+        )
+        total_force = total_force + floor_force
+        lateral_zero = static_flag[..., None] & jnp.array([True, True, False])
+        total_force = jnp.where(lateral_zero, 0.0, total_force)
+
+    total_force = jnp.where(occf, total_force, 0.0)
+
+    # ---- linear integration (reference: VXS_Voxel.cpp:181-197) ----
+    linmom = linmom + total_force * dt
+    disp = linmom * (dt * body.mass_inv[..., None])
+    if sim.max_velocity_enabled:
+        disp_mag = jnp.sqrt(jnp.sum(disp * disp, axis=-1, keepdims=True))
+        max_disp = sim.max_vox_vel_limit * body.nominal_size
+        scale_back = jnp.where(disp_mag > max_disp, max_disp / jnp.where(disp_mag > 0, disp_mag, 1.0), 1.0)
+        disp = disp * scale_back
+    pos = state.pos + disp
+
+    # fixed translational DOFs (reference: :195-197)
+    for axis, bit in enumerate((DOF_X, DOF_Y, DOF_Z)):
+        fixed = (body.dof_fixed & bit) != 0
+        pos = pos.at[..., axis].set(
+            jnp.where(fixed, body.nom_pos[..., axis] + body.external_disp[..., axis],
+                      pos[..., axis])
+        )
+        linmom = linmom.at[..., axis].set(jnp.where(fixed, 0.0, linmom[..., axis]))
+
+    # ---- moments (reference: VXS_Voxel.cpp:653-675 CalcTotalMoment) ----
+    total_moment = jnp.zeros_like(state.angmom)
+    for d in range(3):
+        total_moment = total_moment - bonds[d]["m1"] - _from_nbr(bonds[d]["m2"], d)
+    # external torque support comes with BC regions; zero rotational fixed DOFs
+    for axis, bit in enumerate((DOF_TX, DOF_TY, DOF_TZ)):
+        fixed = (body.dof_fixed & bit) != 0
+        total_moment = total_moment.at[..., axis].set(
+            jnp.where(fixed, 0.0, total_moment[..., axis])
+        )
+    total_moment = jnp.where(occf, total_moment, 0.0)
+
+    angmom = state.angmom + total_moment * dt
+    if sim.volume_effects_enabled:
+        angmom = angmom / 1.01  # reference: :204
+    else:
+        ang_fact = 1.0 - 10.0 * sim.slow_damping_z * body.inertia_inv * body.two_sq_iexsss * dt
+        angmom = angmom * ang_fact[..., None]
+
+    # quaternion integration (reference: :210-215)
+    ang_vel = angmom * body.inertia_inv[..., None]
+    spin = 0.5 * q.quat_multiply(
+        jnp.concatenate([jnp.zeros_like(ang_vel[..., :1]), ang_vel], axis=-1),
+        state.quat,
+    )
+    quat = q.quat_normalize_fast(state.quat + spin * dt)
+
+    # all-rotation-fixed voxels (reference: :218-221)
+    rot_fixed = (body.dof_fixed & (DOF_TX | DOF_TY | DOF_TZ)) == (DOF_TX | DOF_TY | DOF_TZ)
+    quat = jnp.where(
+        rot_fixed[..., None], q.quat_from_rotation_vector(body.external_tdisp), quat
+    )
+    angmom = jnp.where(rot_fixed[..., None], 0.0, angmom)
+
+    # fully-fixed voxels: pin pose, zero momenta (reference: :174-179)
+    all_fixed = (body.dof_fixed & 63) == 63
+    pos = jnp.where(all_fixed[..., None], body.nom_pos + body.external_disp, pos)
+    linmom = jnp.where(all_fixed[..., None], 0.0, linmom)
+
+    # keep empty cells inert
+    pos = jnp.where(occf, pos, body.nom_pos)
+    linmom = jnp.where(occf, linmom, 0.0)
+    angmom = jnp.where(occf, angmom, 0.0)
+
+    # ---- actuation / growth (reference: :224-341) ----
+    new_scale = _scale_update(state, body, sim, env, t)
+    if control_offset is not None:
+        # MPC direct actuation channel: additive scale modulation
+        new_scale = new_scale + jnp.where(occ, control_offset * body.nominal_size, 0.0)
+
+    # ---- kinetic energy bookkeeping / equilibrium mode ----
+    vel_new = linmom * body.mass_inv[..., None]
+    angvel_new = angmom * body.inertia_inv[..., None]
+    ke = 0.5 * jnp.sum(
+        body.mass * jnp.sum(vel_new * vel_new, axis=-1)
+        + body.inertia * jnp.sum(angvel_new * angvel_new, axis=-1)
+    )
+    ke_history = jnp.roll(state.ke_history, 1).at[0].set(ke)
+    if sim.equilibrium_mode:
+        decreasing = (
+            ke_history[0] + ke_history[1] + ke_history[2]
+            < ke_history[3] + ke_history[4] + ke_history[5]
+        )
+        linmom = jnp.where(decreasing, 0.0, linmom)
+        angmom = jnp.where(decreasing, 0.0, angmom)
+
+    new_state = SimState(
+        pos=pos,
+        quat=quat,
+        linmom=linmom,
+        angmom=angmom,
+        scale=new_scale,
+        last_scale=new_scale,
+        small_angle=jnp.stack([b["small_angle"] for b in bonds]),
+        last_pos2=jnp.stack([b["last_pos2"] for b in bonds]),
+        last_angle1=jnp.stack([b["last_angle1"] for b in bonds]),
+        last_angle2=jnp.stack([b["last_angle2"] for b in bonds]),
+        max_strain=jnp.stack([b["max_strain"] for b in bonds]),
+        strain_offset=jnp.stack([b["strain_offset"] for b in bonds]),
+        time=t + dt,
+        diverged=diverged_now,
+        ke_history=ke_history,
+    )
+
+    # freeze state once diverged (reference aborts: VX_Sim.cpp:1774-1777)
+    return jax.tree_util.tree_map(
+        lambda old, new: jnp.where(state.diverged, old, new), state, new_state
+    )
+
+
+def _fluid_drag(state, body, env: EnvParams, vel):
+    """Per-exposed-face quadratic drag — the voxel-level analog of the
+    land_water facet drag (reference: land_water VX_Sim.cpp:1516-1600).
+
+    Each of a voxel's 6 faces that has no bonded neighbor is an exposed
+    surface patch of area scale²; drag = -C·A·|v_n|·v_n per face along the
+    face normal, accumulated onto the voxel. Mesh-facet-accurate drag is a
+    planned refinement; this matches the model up to the deformed-mesh vs
+    axis-aligned-face approximation.
+    """
+    area = state.scale * state.scale
+    drag = jnp.zeros_like(vel)
+    for d in range(3):
+        has_pos = body.bond_mask[d]
+        has_neg = _from_nbr(body.bond_mask[d], d)
+        for sign, exposed in ((1.0, body.occ & ~has_pos), (-1.0, body.occ & ~has_neg)):
+            vn = sign * vel[..., d]  # velocity along outward normal
+            fwd = vn > 0  # only forward-facing faces see drag
+            mag = jnp.where(
+                exposed & fwd, env.aggregate_drag_coefficient * area * vn * vn, 0.0
+            )
+            drag = drag.at[..., d].add(-sign * mag)
+    return drag

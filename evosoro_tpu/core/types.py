@@ -1,0 +1,274 @@
+"""Config and state containers for the TPU voxel physics core.
+
+Everything dynamic is a flax.struct pytree of dense `(X, Y, Z, ...)` arrays —
+structure-of-arrays over the full bounding lattice with an occupancy mask, so
+the whole per-timestep update is a fused 3D stencil (no index lists, no
+scatter). Batch = `vmap` leading axis.
+
+Parameter provenance (reference files under /root/reference/evosoro/):
+- SimParams  ← VXA <Simulator> block (base.py:21-47, VX_Sim.cpp:263-356)
+- EnvParams  ← VXA <Environment> block (base.py:50-74, VX_Environment.cpp:123-298)
+- Material   ← VXC <Palette><Material> (VX_Object.h:525-660)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+from flax import struct
+
+# DOF bit flags (reference: VX_FRegion.h:32-42)
+DOF_X, DOF_Y, DOF_Z, DOF_TX, DOF_TY, DOF_TZ = 1, 2, 4, 8, 16, 32
+DOF_ALL = 63
+
+# Material models (reference: VX_Object.h MatModel enum)
+MDL_LINEAR, MDL_LINEAR_FAIL, MDL_BILINEAR, MDL_DATA = 0, 1, 2, 3
+
+
+@struct.dataclass
+class SimParams:
+    """Integration/damping/stop-condition parameters.
+
+    Defaults follow what evosoro's writer emits for every experiment
+    (reference: tools/read_write_voxelyze.py:62-117), not the C++ fallbacks.
+    Scalars are leaves so MPC can differentiate through them; feature
+    switches are static (they select code paths at trace time).
+    """
+
+    dt_frac: Any = 0.9
+    bond_damping_z: Any = 1.0
+    col_damping_z: Any = 0.8
+    slow_damping_z: Any = 0.01
+    stop_condition_value: Any = 5.0  # seconds of sim time (SC_MAX_SIM_TIME)
+    init_cm_time: Any = 1.0  # fitness_eval_init_time: actuation + CoM capture start
+    min_temp_fact: Any = 0.1  # lower bound on voxel scale / nominal
+    max_vox_vel_limit: Any = 0.1  # in voxel-lengths per timestep (if enabled)
+    afterlife_time: Any = 0.0
+    mid_life_freeze_time: Any = 0.0
+
+    # static feature switches (reference: VXSFEAT_* flags, VX_Sim.h)
+    self_collisions_enabled: bool = struct.field(pytree_node=False, default=False)
+    max_velocity_enabled: bool = struct.field(pytree_node=False, default=False)
+    volume_effects_enabled: bool = struct.field(pytree_node=False, default=False)
+    plasticity_enabled: bool = struct.field(pytree_node=False, default=False)
+    equilibrium_mode: bool = struct.field(pytree_node=False, default=False)
+    collision_horizon: Any = 2.0
+
+
+@struct.dataclass
+class EnvParams:
+    """Environment: gravity, floor, thermal actuation drive, fluid.
+
+    (reference: base.py:50-74 defaults; VX_Environment.cpp:123-298 parsing)
+    """
+
+    grav_acc: Any = -9.81
+    floor_slope: Any = 0.0
+    temp_base: Any = 25.0
+    temp_amplitude: Any = 39.0  # base.py temp_amp default
+    temp_period: Any = 0.25  # 1/frequency (base.py frequency=4.0)
+    growth_amplitude: Any = 0.0
+    floor_radius: Any = 0.0  # limited circular floor radius (VXS_Voxel.cpp:677-700)
+    # aquatic (land_water fork: VX_Environment.cpp:190-191)
+    aggregate_drag_coefficient: Any = 0.0
+
+    gravity_enabled: bool = struct.field(pytree_node=False, default=True)
+    floor_enabled: bool = struct.field(pytree_node=False, default=True)
+    floor_limited: bool = struct.field(pytree_node=False, default=False)
+    temp_enabled: bool = struct.field(pytree_node=False, default=True)
+    vary_temp_enabled: bool = struct.field(pytree_node=False, default=True)
+    sticky_floor: bool = struct.field(pytree_node=False, default=False)
+    fluid_environment: bool = struct.field(pytree_node=False, default=False)
+    # lattice pitch in meters (base.py lattice_dimension=0.01)
+    lattice_dim: Any = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class Material:
+    """One palette entry (reference: VX_Object.h:525-660 CVXC_Material)."""
+
+    id: int
+    name: str = ""
+    elastic_mod: float = 1e7
+    density: float = 1e6
+    poissons_ratio: float = 0.35
+    cte: float = 0.0
+    u_static: float = 1.0
+    u_dynamic: float = 0.5
+    mat_model: int = MDL_LINEAR
+    plastic_mod: float = 0.0
+    yield_stress: float = 0.0
+    fail_model: int = 0
+    fail_stress: float = 0.0
+    fail_strain: float = 0.0
+    mat_temp_phase: float = 0.0
+    rgba: tuple = (0.5, 0.5, 0.5, 1.0)
+
+
+@struct.dataclass
+class MaterialPalette:
+    """Palette as arrays indexed by material id (0 = empty).
+
+    Built by `materials.palette_from_list`. Gathered per-voxel at body build
+    time, so the hot loop never indexes the palette.
+    """
+
+    elastic_mod: Any
+    density: Any
+    poisson: Any
+    cte: Any
+    u_static: Any
+    u_dynamic: Any
+    mat_model: Any
+    plastic_mod: Any
+    yield_stress: Any
+    fail_stress: Any
+    fail_strain: Any
+    mat_temp_phase: Any
+    num_materials: int = struct.field(pytree_node=False, default=0)
+
+
+def evosoro_default_palette(
+    fat_stiffness=5e6,
+    bone_stiffness=5e8,
+    muscle_stiffness=5e6,
+    actuation_cte=0.01,
+):
+    """The 7-material palette every evosoro experiment hard-codes
+    (reference: tools/read_write_voxelyze.py:175-344)."""
+    return [
+        Material(1, "Passive_Soft", fat_stiffness, cte=0.0, rgba=(0, 1, 1, 1)),
+        Material(2, "Passive_Hard", bone_stiffness, cte=0.0, rgba=(0, 0, 1, 1)),
+        Material(3, "Active_+", muscle_stiffness, cte=actuation_cte, rgba=(1, 0, 0, 1)),
+        Material(4, "Active_-", muscle_stiffness, cte=-actuation_cte, rgba=(0, 1, 0, 1)),
+        Material(5, "Obstacle", 5e7, cte=0.0, rgba=(1, 0.784, 0, 1)),
+        Material(6, "Head_Active_+", fat_stiffness, cte=actuation_cte, rgba=(1, 1, 0, 1)),
+        Material(7, "Food", muscle_stiffness, cte=0.0, rgba=(1, 1, 0, 1)),
+    ]
+
+
+@struct.dataclass
+class VoxelBody:
+    """Static (per-design) arrays precomputed once per phenotype.
+
+    Per-voxel arrays are `(X, Y, Z)` / `(X, Y, Z, 3)`. Per-bond arrays are
+    `(3, X, Y, Z)`: axis 0 indexes the bond direction d∈{X,Y,Z}; the bond at
+    `(d, x, y, z)` connects voxel (x,y,z) ("vox1") to its +d neighbor
+    ("vox2"). Boundary/missing bonds are masked.
+
+    Cubic-lattice symmetry: Iy == Iz so the y/z beam constants coincide;
+    we store one copy of each (reference computes both: VX_Bond.cpp:123-173).
+    """
+
+    # occupancy / identity
+    occ: Any  # (X,Y,Z) bool
+    mat: Any  # (X,Y,Z) int32
+    nom_pos: Any  # (X,Y,Z,3) nominal voxel center positions [m]
+    nominal_size: Any  # scalar lattice pitch [m]
+
+    # per-voxel physical constants (reference: VX_Voxel.cpp:95-128)
+    mass: Any
+    mass_inv: Any
+    inertia: Any
+    inertia_inv: Any
+    first_moment: Any
+    e_mod: Any  # per-voxel elastic modulus (palette or evolved override)
+    poisson: Any
+    cte: Any
+    u_static: Any
+    u_dynamic: Any
+    lin_stiffness: Any  # 2*E*L (floor normal stiffness, VX_Voxel.h:64)
+    two_sq_mexs: Any  # 2*sqrt(M*E*L)   (translation damping factor)
+    two_sq_iexsss: Any  # 2*sqrt(I*E*L^3) (rotation damping factor)
+
+    # actuation / evo-devo per-voxel fields (reference: VXS_Voxel.h:92-111)
+    phase_offset: Any
+    final_phase_offset: Any
+    temp_amp_damp: Any
+    final_temp_amp_damp: Any
+    initial_voxel_size: Any
+    final_voxel_size: Any
+    growth_time: Any
+    start_growth_time: Any
+
+    # boundary conditions
+    dof_fixed: Any  # (X,Y,Z) int32 bitmask of DOF_*
+    external_force: Any  # (X,Y,Z,3)
+    external_disp: Any  # (X,Y,Z,3)
+    external_tdisp: Any  # (X,Y,Z,3)
+
+    # per-bond composite constants (reference: VX_Bond.cpp:65-173)
+    bond_mask: Any  # (3,X,Y,Z) bool
+    bond_homogeneous: Any  # (3,X,Y,Z) bool — same material both sides
+    bond_e: Any  # composite E = 2*E1*E2/(E1+E2)
+    bond_e1: Any
+    bond_e2: Any
+    # beam stiffness constants
+    bond_a1: Any  # E*A/L
+    bond_a2: Any  # G*J/L
+    bond_b1: Any  # 12*E*I/L^3
+    bond_b2: Any  # 6*E*I/L^2
+    bond_b3: Any  # 2*E*I/L
+    # 2*sqrt(k * m) critical-damping coefficients, per bond side
+    d_a1m1: Any
+    d_a1m2: Any
+    d_a2i1: Any
+    d_a2i2: Any
+    d_b1m1: Any
+    d_b1m2: Any
+    d_b2fm1: Any
+    d_b2fm2: Any
+    d_b3i1: Any
+    d_b3i2: Any
+
+    # devo usage flags (static: gate code paths)
+    using_phase_offset: bool = struct.field(pytree_node=False, default=True)
+    using_final_phase_offset: bool = struct.field(pytree_node=False, default=False)
+    using_temp_amp_damp: bool = struct.field(pytree_node=False, default=False)
+    using_final_temp_amp_damp: bool = struct.field(pytree_node=False, default=False)
+    using_initial_voxel_size: bool = struct.field(pytree_node=False, default=False)
+    using_final_voxel_size: bool = struct.field(pytree_node=False, default=False)
+    using_growth_time: bool = struct.field(pytree_node=False, default=False)
+    using_start_growth_time: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def grid_shape(self):
+        return self.occ.shape
+
+    @property
+    def num_voxels(self):
+        return jnp.sum(self.occ)
+
+
+@struct.dataclass
+class SimState:
+    """Dynamic state carried through the rollout scan.
+
+    Mirrors CVXS_Voxel state (VXS_Voxel.h) + CVXS_Bond damping memory
+    (VX_Bond.h _LastPos2/_LastAngle1/_LastAngle2) + plasticity high-water
+    marks. One rollout = one SimState; batches via vmap.
+    """
+
+    pos: Any  # (X,Y,Z,3)
+    quat: Any  # (X,Y,Z,4) (w,x,y,z)
+    linmom: Any  # (X,Y,Z,3)
+    angmom: Any  # (X,Y,Z,3)
+    scale: Any  # (X,Y,Z) current actuated edge length
+    last_scale: Any  # (X,Y,Z)
+
+    # bond state (3,X,Y,Z[,3])
+    small_angle: Any  # bool — small-angle hysteresis flag (VXS_BondInternal.h)
+    last_pos2: Any  # (3,X,Y,Z,3) bond-frame _Pos2 memory for damping
+    last_angle1: Any
+    last_angle2: Any
+    max_strain: Any  # (3,X,Y,Z) plasticity high-water mark
+    strain_offset: Any  # (3,X,Y,Z) plastic strain offset
+
+    time: Any  # scalar sim time [s]
+    diverged: Any  # scalar bool — strain blow-up flag (VX_Sim.cpp:1775)
+
+    # KE history for equilibrium mode / stop conditions (6 deep,
+    # reference: VX_Sim.h KinEHistory)
+    ke_history: Any  # (6,)

@@ -1,0 +1,18 @@
+"""Test environment: force CPU with 8 virtual devices so sharding tests run
+without a pod, and enable x64 so parity tests can match the double-precision
+reference engine."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the physics step graph is large and this box is
+# small; caching makes repeat test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
