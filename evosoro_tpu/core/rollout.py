@@ -97,6 +97,7 @@ def rollout(
     trace_every: int = 0,
     control_sequence=None,
     unroll: int = 1,
+    stop_time=None,
 ) -> RolloutResult:
     """Run `num_steps` of physics and reduce fitness statistics.
 
@@ -104,6 +105,11 @@ def rollout(
     modulation; knot k is active for steps [k*S/K, (k+1)*S/K) — the MPC
     actuation channel. `trace_every > 0` records the CoM every that many
     steps (analog of TimeBetweenTraces, VX_Environment.h).
+
+    `stop_time`: optional per-rollout SC_MAX_SIM_TIME value; once a rollout's
+    sim time passes it, its state freezes for the remaining steps. This lets
+    a batch of rollouts with heterogeneous dt (CalcMaxDt is design-dependent,
+    reference: VX_Sim.cpp:1693-1727) share one fixed-length scan.
     """
     if dt is None:
         dt = calc_max_dt(body) * sim.dt_frac
@@ -128,6 +134,11 @@ def rollout(
             ctrl = control_sequence[knot]
 
         new_state = sim_step(st, body, sim, env, dt, prec, control_offset=ctrl)
+        if stop_time is not None:
+            stopped = st.time >= stop_time
+            new_state = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(stopped, old, new), st, new_state
+            )
 
         out = ()
         if trace_every:

@@ -1,0 +1,687 @@
+"""VXA file format: reader, writer, fitness-XML parser.
+
+The VXA XML file is the reference's full engine config schema — Simulator
+block (reference: VX_Sim.cpp:263-356 ReadXML), Environment block
+(VX_Environment.cpp:123-298), and the VXC lattice/palette/structure with
+per-voxel arrays (VX_Object.cpp:444-473, 1748-2321). This module round-trips
+that schema so (a) reference fixtures run unmodified on the TPU engine and
+(b) files we write can be fed back to the reference binary for parity tests
+(the writer mirrors tools/read_write_voxelyze.py:40-407 output).
+
+Layer ordering: one <Layer> CDATA per z-slice, scanned y-major then x
+(reference: read_write_voxelyze.py:353-357), i.e. flat index = x + X*y.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+import numpy as np
+
+from evosoro_tpu.core.types import (
+    DOF_ALL,
+    EnvParams,
+    Material,
+    SimParams,
+)
+
+# Stop conditions (reference: VX_Sim.h StopCondition enum)
+SC_NONE = 0
+SC_MAX_TIME_STEPS = 1
+SC_MAX_SIM_TIME = 2
+SC_TEMP_CYCLES = 3
+SC_CONST_MAXENERGY = 4
+SC_MIN_KE = 5
+SC_MIN_MAXMOVE = 6
+
+# Region primitive types (reference: VX_FRegion.h PrimTypes)
+PRIM_BOX = 0
+PRIM_CYLINDER = 1
+PRIM_SPHERE = 2
+PRIM_MESH = 3
+
+# Per-voxel array tags the VXC structure can carry
+# (reference: VX_Object.h:183-258 / VX_Object.cpp:1879-2321)
+VOXEL_ARRAY_TAGS = (
+    "PhaseOffset",
+    "FinalPhaseOffset",
+    "TempAmpDamp",
+    "FinalTempAmpDamp",
+    "InitialVoxelSize",
+    "FinalVoxelSize",
+    "GrowthTime",
+    "StartGrowthTime",
+    "Stiffness",
+    "StiffnessPlasticityRate",
+    "KP",
+    "KI",
+    "ANTIWINDUP",
+)
+
+
+@dataclasses.dataclass
+class BCRegion:
+    """One boundary-condition region (reference: VX_FRegion.{h,cpp}).
+
+    Coordinates are normalized [0,1] fractions of the workspace.
+    """
+
+    prim_type: int = PRIM_BOX
+    x: float = 0.0
+    y: float = 0.0
+    z: float = 0.0
+    dx: float = 0.0
+    dy: float = 0.0
+    dz: float = 0.0
+    radius: float = 0.0
+    dof_fixed: int = 0
+    force: tuple = (0.0, 0.0, 0.0)
+    torque: tuple = (0.0, 0.0, 0.0)
+    displace: tuple = (0.0, 0.0, 0.0)
+    ang_displace: tuple = (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass
+class VXADocument:
+    """Everything parsed out of one .vxa file."""
+
+    sim: SimParams
+    env: EnvParams
+    lattice_dim: float
+    materials: list
+    structure: np.ndarray  # (X,Y,Z) int material ids
+    voxel_arrays: dict  # tag -> (X,Y,Z) float array
+    bcs: list
+    stop_condition_type: int = SC_MAX_SIM_TIME
+    stop_condition_value: float = 5.0
+    fitness_file_name: str = ""
+    write_fitness_file: bool = False
+    save_traces: bool = False
+    time_between_traces: float = 0.0
+    norm_dist_by_vol: bool = False
+    normalization_exponent: float = 1.0
+    falling_prohibited: bool = False
+    needle_in_haystack: bool = False
+    # per-material thermal phases, id-indexed (reference writer emits per-
+    # material <TempPhase> when actuation_variance > 0)
+    qhull_tmp_file: str = ""
+    curvatures_tmp_file: str = ""
+
+    def build_body(self, dtype=None):
+        """Construct the VoxelBody pytree for this design."""
+        import jax.numpy as jnp
+
+        from evosoro_tpu.core.materials import build_body, palette_from_list
+
+        dtype = dtype or jnp.float32
+        palette = palette_from_list(self.materials, dtype=dtype)
+        X, Y, Z = self.structure.shape
+        arr = {k.lower(): v for k, v in self.voxel_arrays.items()}
+
+        dof_fixed, ext_force, ext_disp, ext_tdisp = apply_bc_regions(
+            self.bcs, self.structure, self.lattice_dim
+        )
+
+        return build_body(
+            self.structure,
+            palette,
+            lattice_dim=self.lattice_dim,
+            phase_offset=arr.get("phaseoffset"),
+            final_phase_offset=arr.get("finalphaseoffset"),
+            temp_amp_damp=arr.get("tempampdamp"),
+            final_temp_amp_damp=arr.get("finaltempampdamp"),
+            initial_voxel_size=arr.get("initialvoxelsize"),
+            final_voxel_size=arr.get("finalvoxelsize"),
+            growth_time=arr.get("growthtime"),
+            start_growth_time=arr.get("startgrowthtime"),
+            stiffness=arr.get("stiffness"),
+            dof_fixed=dof_fixed,
+            external_force=ext_force,
+            external_disp=ext_disp,
+            external_tdisp=ext_tdisp,
+            dtype=dtype,
+        )
+
+
+def apply_bc_regions(bcs, structure, lattice_dim):
+    """Rasterize BC regions onto the lattice.
+
+    Reference semantics: a voxel belongs to a region if its center point is
+    touching the region scaled to the workspace (VX_Sim.cpp Import →
+    CVX_FRegion::GetRegion()->IsTouching with half-voxel envelope). Forces
+    are divided equally among the voxels in the region
+    (VX_Environment.cpp AddForcedBc usage in VX_Sim.cpp:488-722).
+    """
+    X, Y, Z = structure.shape
+    occ = structure > 0
+    if not bcs:
+        return None, None, None, None
+
+    ws = np.array([X, Y, Z], dtype=np.float64) * lattice_dim
+    centers = (
+        np.stack(
+            np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z), indexing="ij"),
+            axis=-1,
+        ).astype(np.float64)
+        + 0.5
+    ) * lattice_dim
+    half = 0.5 * lattice_dim
+
+    dof_fixed = np.zeros((X, Y, Z), dtype=np.int32)
+    ext_force = np.zeros((X, Y, Z, 3))
+    ext_disp = np.zeros((X, Y, Z, 3))
+    ext_tdisp = np.zeros((X, Y, Z, 3))
+
+    for bc in bcs:
+        lo = np.array([bc.x, bc.y, bc.z]) * ws
+        if bc.prim_type == PRIM_BOX:
+            hi = lo + np.array([bc.dx, bc.dy, bc.dz]) * ws
+            inside = np.all(
+                (centers >= lo - half) & (centers <= hi + half), axis=-1
+            )
+        elif bc.prim_type == PRIM_SPHERE:
+            r = bc.radius * ws.min()
+            inside = np.linalg.norm(centers - lo, axis=-1) <= r + half
+        elif bc.prim_type == PRIM_CYLINDER:
+            r = bc.radius * ws.min()
+            dxy = np.linalg.norm(centers[..., :2] - lo[:2], axis=-1)
+            hi_z = lo[2] + bc.dz * ws[2]
+            inside = (
+                (dxy <= r + half)
+                & (centers[..., 2] >= lo[2] - half)
+                & (centers[..., 2] <= hi_z + half)
+            )
+        else:
+            continue
+        inside = inside & occ
+        n = max(int(inside.sum()), 1)
+        dof_fixed[inside] |= bc.dof_fixed
+        ext_force[inside] += np.asarray(bc.force) / n
+        ext_disp[inside] += np.asarray(bc.displace)
+        ext_tdisp[inside] += np.asarray(bc.ang_displace)
+
+    return dof_fixed, ext_force, ext_disp, ext_tdisp
+
+
+# ---------------------------------------------------------------------------
+# Reading
+# ---------------------------------------------------------------------------
+
+def _text(el, tag, default=None, cast=float):
+    child = el.find(tag) if el is not None else None
+    if child is None or child.text is None:
+        return default
+    txt = child.text.strip()
+    if cast is bool:
+        return txt not in ("0", "", "false", "False")
+    try:
+        return cast(txt)
+    except ValueError:
+        return default
+
+
+def _parse_layers_int(struct_el, tag, shape):
+    """Parse digit-per-voxel CDATA layers (material ids)."""
+    X, Y, Z = shape
+    out = np.zeros(shape, dtype=np.int32)
+    el = struct_el.find(tag)
+    if el is None:
+        return None
+    for z, layer in enumerate(el.findall("Layer")):
+        data = (layer.text or "").strip()
+        for i, ch in enumerate(data):
+            x, y = i % X, i // X
+            # ASCII_READABLE stores value+48 ('0'-'9' for ids 0-9,
+            # reference: VX_Object.cpp:1748-1830)
+            out[x, y, z] = ord(ch) - 48
+    return out
+
+
+def _parse_layers_float(struct_el, tag, shape):
+    """Parse comma-separated float CDATA layers (per-voxel arrays)."""
+    X, Y, Z = shape
+    el = struct_el.find(tag)
+    if el is None:
+        return None
+    out = np.zeros(shape, dtype=np.float64)
+    for z, layer in enumerate(el.findall("Layer")):
+        txt = (layer.text or "").strip()
+        vals = [v for v in re.split(r"[,\s]+", txt) if v]
+        for i, v in enumerate(vals[: X * Y]):
+            x, y = i % X, i // X
+            out[x, y, z] = float(v)
+    return out
+
+
+def _parse_material(mat_el) -> Material:
+    mech = mat_el.find("Mechanical")
+    disp = mat_el.find("Display")
+    rgba = (
+        _text(disp, "Red", 0.5),
+        _text(disp, "Green", 0.5),
+        _text(disp, "Blue", 0.5),
+        _text(disp, "Alpha", 1.0),
+    )
+    return Material(
+        id=int(mat_el.get("ID", "0")),
+        name=_text(mat_el, "Name", "", cast=str),
+        mat_model=_text(mech, "MatModel", 0, cast=int),
+        elastic_mod=_text(mech, "Elastic_Mod", 1e7),
+        plastic_mod=_text(mech, "Plastic_Mod", 0.0),
+        yield_stress=_text(mech, "Yield_Stress", 0.0),
+        fail_model=_text(mech, "FailModel", 0, cast=int),
+        fail_stress=_text(mech, "Fail_Stress", 0.0),
+        fail_strain=_text(mech, "Fail_Strain", 0.0),
+        density=_text(mech, "Density", 1e6),
+        poissons_ratio=_text(mech, "Poissons_Ratio", 0.35),
+        cte=_text(mech, "CTE", 0.0),
+        u_static=_text(mech, "uStatic", 1.0),
+        u_dynamic=_text(mech, "uDynamic", 0.5),
+        mat_temp_phase=_text(mat_el, "TempPhase", 0.0),
+        rgba=rgba,
+    )
+
+
+def _parse_regions(env_el) -> list:
+    bcs = []
+    for container, count_tag in (
+        ("Boundary_Conditions", "NumBCs"),
+        ("Fixed_Regions", "NumFixed"),
+        ("Forced_Regions", "NumForced"),
+    ):
+        cel = env_el.find(container)
+        if cel is None:
+            continue
+        for reg in cel.findall("FRegion"):
+            dof = _text(reg, "DofFixed", None, cast=int)
+            if dof is None:
+                fixed = _text(reg, "Fixed", False, cast=bool)
+                dof = DOF_ALL if fixed else 0
+            bcs.append(
+                BCRegion(
+                    prim_type=_text(reg, "PrimType", PRIM_BOX, cast=int),
+                    x=_text(reg, "X", 0.0),
+                    y=_text(reg, "Y", 0.0),
+                    z=_text(reg, "Z", 0.0),
+                    dx=_text(reg, "dX", 0.0),
+                    dy=_text(reg, "dY", 0.0),
+                    dz=_text(reg, "dZ", 0.0),
+                    radius=_text(reg, "Radius", 0.0),
+                    dof_fixed=dof,
+                    force=(
+                        _text(reg, "ForceX", 0.0),
+                        _text(reg, "ForceY", 0.0),
+                        _text(reg, "ForceZ", 0.0),
+                    ),
+                    torque=(
+                        _text(reg, "TorqueX", 0.0),
+                        _text(reg, "TorqueY", 0.0),
+                        _text(reg, "TorqueZ", 0.0),
+                    ),
+                    displace=(
+                        _text(reg, "DisplaceX", 0.0),
+                        _text(reg, "DisplaceY", 0.0),
+                        _text(reg, "DisplaceZ", 0.0),
+                    ),
+                    ang_displace=(
+                        _text(reg, "AngDisplaceX", 0.0),
+                        _text(reg, "AngDisplaceY", 0.0),
+                        _text(reg, "AngDisplaceZ", 0.0),
+                    ),
+                )
+            )
+    return bcs
+
+
+def load_vxa(path) -> VXADocument:
+    """Parse a .vxa file into a VXADocument.
+
+    Defaults replicate the reference's ReadXML fallbacks
+    (VX_Sim.cpp:263-356, VX_Environment.cpp:123-298).
+    """
+    tree = ET.parse(path)
+    root = tree.getroot()
+
+    # ---- Simulator ----
+    sim_el = root.find("Simulator")
+    integ = sim_el.find("Integration") if sim_el is not None else None
+    damp = sim_el.find("Damping") if sim_el is not None else None
+    cols = sim_el.find("Collisions") if sim_el is not None else None
+    stop = sim_el.find("StopCondition") if sim_el is not None else None
+    ga = sim_el.find("GA") if sim_el is not None else None
+    feat = sim_el.find("Features") if sim_el is not None else None
+    equil = sim_el.find("EquilibriumMode") if sim_el is not None else None
+
+    stop_type = _text(stop, "StopConditionType", SC_MAX_SIM_TIME, cast=int)
+    stop_value = _text(stop, "StopConditionValue", 5.0)
+
+    sim = SimParams(
+        dt_frac=_text(integ, "DtFrac", 0.9),
+        bond_damping_z=_text(damp, "BondDampingZ", 0.1),
+        col_damping_z=_text(damp, "ColDampingZ", 1.0),
+        slow_damping_z=_text(damp, "SlowDampingZ", 1.0),
+        stop_condition_value=stop_value,
+        init_cm_time=_text(stop, "InitCmTime", 0.0),
+        afterlife_time=_text(stop, "AfterlifeTime", 0.0),
+        mid_life_freeze_time=_text(stop, "MidLifeFreezeTime", 0.0),
+        min_temp_fact=_text(sim_el, "MinTempFact", 0.1),
+        max_vox_vel_limit=_text(feat, "MaxVoxVelLimit", 0.1),
+        self_collisions_enabled=_text(cols, "SelfColEnabled", False, cast=bool),
+        collision_horizon=_text(cols, "CollisionHorizon", 2.0),
+        max_velocity_enabled=_text(feat, "MaxVelLimitEnabled", False, cast=bool),
+        volume_effects_enabled=_text(
+            feat, "VolumeEffectsEnabled", False, cast=bool
+        ),
+        equilibrium_mode=_text(
+            equil, "EquilibriumModeEnabled", False, cast=bool
+        ),
+    )
+
+    # ---- Environment ----
+    env_el = root.find("Environment")
+    grav = env_el.find("Gravity") if env_el is not None else None
+    therm = env_el.find("Thermal") if env_el is not None else None
+
+    temp_base = _text(therm, "TempBase", 25.0)
+    temp_amplitude = _text(therm, "TempAmplitude", None)
+    if temp_amplitude is None:
+        # legacy TempAmp = peak temperature → amplitude = peak − base
+        # (reference: VX_Environment.cpp:184-189)
+        temp_amp = _text(therm, "TempAmp", None)
+        temp_amplitude = (temp_amp - temp_base) if temp_amp is not None else 0.0
+
+    floor_radius = _text(env_el, "FloorRadius", None)
+    bcs = _parse_regions(env_el) if env_el is not None else []
+
+    env = EnvParams(
+        grav_acc=_text(grav, "GravAcc", -9.81),
+        floor_slope=_text(grav, "FloorSlope", 0.0),
+        temp_base=temp_base,
+        temp_amplitude=temp_amplitude,
+        temp_period=_text(therm, "TempPeriod", 0.1),
+        growth_amplitude=_text(env_el, "GrowthAmplitude", 0.0),
+        floor_radius=floor_radius if floor_radius is not None else 0.0,
+        aggregate_drag_coefficient=_text(
+            env_el, "AggregateDragCoefficient", 0.0
+        ),
+        gravity_enabled=_text(grav, "GravEnabled", False, cast=bool),
+        floor_enabled=_text(grav, "FloorEnabled", False, cast=bool),
+        floor_limited=floor_radius is not None,
+        temp_enabled=_text(therm, "TempEnabled", False, cast=bool),
+        vary_temp_enabled=_text(therm, "VaryTempEnabled", False, cast=bool),
+        sticky_floor=_text(env_el, "StickyFloor", False, cast=bool),
+        fluid_environment=_text(env_el, "FluidEnvironment", False, cast=bool),
+    )
+
+    # ---- VXC ----
+    vxc = root.find("VXC")
+    lattice = vxc.find("Lattice")
+    lattice_dim = _text(lattice, "Lattice_Dim", 0.001)
+    env = env.replace(lattice_dim=lattice_dim)
+
+    palette_el = vxc.find("Palette")
+    materials = [_parse_material(m) for m in palette_el.findall("Material")]
+
+    struct_el = vxc.find("Structure")
+    X = _text(struct_el, "X_Voxels", 1, cast=int)
+    Y = _text(struct_el, "Y_Voxels", 1, cast=int)
+    Z = _text(struct_el, "Z_Voxels", 1, cast=int)
+    structure = _parse_layers_int(struct_el, "Data", (X, Y, Z))
+    if structure is None:
+        structure = np.zeros((X, Y, Z), dtype=np.int32)
+
+    voxel_arrays = {}
+    for tag in VOXEL_ARRAY_TAGS:
+        arr = _parse_layers_float(struct_el, tag, (X, Y, Z))
+        if arr is not None:
+            voxel_arrays[tag] = arr
+
+    return VXADocument(
+        sim=sim,
+        env=env,
+        lattice_dim=lattice_dim,
+        materials=materials,
+        structure=structure,
+        voxel_arrays=voxel_arrays,
+        bcs=bcs,
+        stop_condition_type=stop_type,
+        stop_condition_value=stop_value,
+        fitness_file_name=_text(ga, "FitnessFileName", "", cast=str),
+        write_fitness_file=_text(ga, "WriteFitnessFile", False, cast=bool),
+        save_traces=_text(env_el, "SaveTraces", False, cast=bool),
+        time_between_traces=_text(env_el, "TimeBetweenTraces", 0.0),
+        norm_dist_by_vol=_text(env_el, "NormDistByVol", False, cast=bool),
+        normalization_exponent=_text(env_el, "NormalizationExponent", 1.0),
+        falling_prohibited=_text(env_el, "FallingProhibited", False, cast=bool),
+        needle_in_haystack=_text(env_el, "NeedleInHaystack", False, cast=bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Writing (mirrors tools/read_write_voxelyze.py:40-407)
+# ---------------------------------------------------------------------------
+
+def _layers_int(arr) -> str:
+    X, Y, Z = arr.shape
+    out = []
+    for z in range(Z):
+        chars = "".join(
+            str(int(arr[x, y, z])) for y in range(Y) for x in range(X)
+        )
+        out.append(f"<Layer><![CDATA[{chars}]]></Layer>")
+    return "\n".join(out)
+
+
+def _layers_float(arr) -> str:
+    X, Y, Z = arr.shape
+    out = []
+    for z in range(Z):
+        vals = "".join(
+            f"{arr[x, y, z]}, " for y in range(Y) for x in range(X)
+        )
+        out.append(f"<Layer><![CDATA[{vals}]]></Layer>")
+    return "\n".join(out)
+
+
+def _material_xml(m: Material) -> str:
+    temp_phase = (
+        f"<TempPhase>{m.mat_temp_phase}</TempPhase>\n" if m.mat_temp_phase else ""
+    )
+    return f"""<Material ID="{m.id}">
+<MatType>0</MatType>
+<Name>{m.name}</Name>
+{temp_phase}<Display>
+<Red>{m.rgba[0]}</Red>
+<Green>{m.rgba[1]}</Green>
+<Blue>{m.rgba[2]}</Blue>
+<Alpha>{m.rgba[3]}</Alpha>
+</Display>
+<Mechanical>
+<MatModel>{m.mat_model}</MatModel>
+<Elastic_Mod>{m.elastic_mod}</Elastic_Mod>
+<Plastic_Mod>{m.plastic_mod}</Plastic_Mod>
+<Yield_Stress>{m.yield_stress}</Yield_Stress>
+<FailModel>{m.fail_model}</FailModel>
+<Fail_Stress>{m.fail_stress}</Fail_Stress>
+<Fail_Strain>{m.fail_strain}</Fail_Strain>
+<Density>{m.density}</Density>
+<Poissons_Ratio>{m.poissons_ratio}</Poissons_Ratio>
+<CTE>{m.cte}</CTE>
+<uStatic>{m.u_static}</uStatic>
+<uDynamic>{m.u_dynamic}</uDynamic>
+</Mechanical>
+</Material>"""
+
+
+def write_vxa(
+    path,
+    structure,
+    materials,
+    sim: Optional[SimParams] = None,
+    env: Optional[EnvParams] = None,
+    voxel_arrays: Optional[dict] = None,
+    fitness_file_name: str = "",
+    stop_condition_type: int = SC_MAX_SIM_TIME,
+    self_col_enabled: Optional[bool] = None,
+    save_traces: bool = False,
+    time_between_traces: float = 0.0,
+    extra_env_tags: str = "",
+):
+    """Write a .vxa the reference `voxelyze` binary accepts unmodified."""
+    sim = sim or SimParams()
+    env = env or EnvParams()
+    voxel_arrays = voxel_arrays or {}
+    structure = np.asarray(structure)
+    X, Y, Z = structure.shape
+    if self_col_enabled is None:
+        self_col_enabled = sim.self_collisions_enabled
+
+    ga_block = ""
+    if fitness_file_name:
+        ga_block = f"""<GA>
+<WriteFitnessFile>1</WriteFitnessFile>
+<FitnessFileName>{fitness_file_name}</FitnessFileName>
+</GA>
+"""
+
+    trace_tags = ""
+    if save_traces:
+        trace_tags = (
+            f"<SaveTraces>1</SaveTraces>\n"
+            f"<TimeBetweenTraces>{time_between_traces}</TimeBetweenTraces>\n"
+        )
+
+    mats = "\n".join(_material_xml(m) for m in materials)
+    arrays = "\n".join(
+        f"<{tag}>\n{_layers_float(np.asarray(arr))}\n</{tag}>"
+        for tag, arr in voxel_arrays.items()
+    )
+
+    body = f"""<?xml version="1.0" encoding="ISO-8859-1"?>
+<VXA Version="1.0">
+<Simulator>
+<Integration>
+<Integrator>0</Integrator>
+<DtFrac>{sim.dt_frac}</DtFrac>
+</Integration>
+<Damping>
+<BondDampingZ>{sim.bond_damping_z}</BondDampingZ>
+<ColDampingZ>{sim.col_damping_z}</ColDampingZ>
+<SlowDampingZ>{sim.slow_damping_z}</SlowDampingZ>
+</Damping>
+<Collisions>
+<SelfColEnabled>{int(self_col_enabled)}</SelfColEnabled>
+<ColSystem>3</ColSystem>
+<CollisionHorizon>{sim.collision_horizon}</CollisionHorizon>
+</Collisions>
+<Features>
+<MaxVelLimitEnabled>{int(sim.max_velocity_enabled)}</MaxVelLimitEnabled>
+<MaxVoxVelLimit>{sim.max_vox_vel_limit}</MaxVoxVelLimit>
+<FluidDampEnabled>0</FluidDampEnabled>
+<VolumeEffectsEnabled>{int(sim.volume_effects_enabled)}</VolumeEffectsEnabled>
+<EnforceLatticeEnabled>0</EnforceLatticeEnabled>
+</Features>
+<SurfMesh>
+<CMesh>
+<DrawSmooth>1</DrawSmooth>
+<Vertices/>
+<Facets/>
+<Lines/>
+</CMesh>
+</SurfMesh>
+<StopCondition>
+<StopConditionType>{stop_condition_type}</StopConditionType>
+<StopConditionValue>{sim.stop_condition_value}</StopConditionValue>
+<InitCmTime>{sim.init_cm_time}</InitCmTime>
+<AfterlifeTime>{sim.afterlife_time}</AfterlifeTime>
+<MidLifeFreezeTime>{sim.mid_life_freeze_time}</MidLifeFreezeTime>
+</StopCondition>
+<EquilibriumMode>
+<EquilibriumModeEnabled>{int(sim.equilibrium_mode)}</EquilibriumModeEnabled>
+</EquilibriumMode>
+{ga_block}<MinTempFact>{sim.min_temp_fact}</MinTempFact>
+</Simulator>
+<Environment>
+<Fixed_Regions>
+<NumFixed>0</NumFixed>
+</Fixed_Regions>
+<Forced_Regions>
+<NumForced>0</NumForced>
+</Forced_Regions>
+<Gravity>
+<GravEnabled>{int(env.gravity_enabled)}</GravEnabled>
+<GravAcc>{env.grav_acc}</GravAcc>
+<FloorEnabled>{int(env.floor_enabled)}</FloorEnabled>
+<FloorSlope>{env.floor_slope}</FloorSlope>
+</Gravity>
+<Thermal>
+<TempEnabled>{int(env.temp_enabled)}</TempEnabled>
+<TempAmp>{env.temp_base + env.temp_amplitude}</TempAmp>
+<TempBase>{env.temp_base}</TempBase>
+<VaryTempEnabled>{int(env.vary_temp_enabled)}</VaryTempEnabled>
+<TempPeriod>{env.temp_period}</TempPeriod>
+</Thermal>
+<GrowthAmplitude>{env.growth_amplitude}</GrowthAmplitude>
+<StickyFloor>{int(env.sticky_floor)}</StickyFloor>
+{trace_tags}{extra_env_tags}</Environment>
+<VXC Version="0.93">
+<Lattice>
+<Lattice_Dim>{env.lattice_dim}</Lattice_Dim>
+<X_Dim_Adj>1</X_Dim_Adj>
+<Y_Dim_Adj>1</Y_Dim_Adj>
+<Z_Dim_Adj>1</Z_Dim_Adj>
+<X_Line_Offset>0</X_Line_Offset>
+<Y_Line_Offset>0</Y_Line_Offset>
+<X_Layer_Offset>0</X_Layer_Offset>
+<Y_Layer_Offset>0</Y_Layer_Offset>
+</Lattice>
+<Voxel>
+<Vox_Name>BOX</Vox_Name>
+<X_Squeeze>1</X_Squeeze>
+<Y_Squeeze>1</Y_Squeeze>
+<Z_Squeeze>1</Z_Squeeze>
+</Voxel>
+<Palette>
+{mats}
+</Palette>
+<Structure Compression="ASCII_READABLE">
+<X_Voxels>{X}</X_Voxels>
+<Y_Voxels>{Y}</Y_Voxels>
+<Z_Voxels>{Z}</Z_Voxels>
+<Data>
+{_layers_int(structure)}
+</Data>
+{arrays}
+</Structure>
+</VXC>
+</VXA>
+"""
+    with open(path, "w") as f:
+        f.write(body)
+    return path
+
+
+def read_fitness_xml(path) -> dict:
+    """Parse a Voxelyze_Sim_Result fitness XML into {tag: float}
+    (reference output: VX_SimGA.cpp:140-203; reference parser:
+    read_write_voxelyze.py:7-37)."""
+    tree = ET.parse(path)
+    root = tree.getroot()
+    out = {}
+
+    def walk(el):
+        for child in el:
+            if len(child):
+                walk(child)
+            elif child.text is not None:
+                txt = child.text.strip()
+                try:
+                    out[child.tag] = float(txt)
+                except ValueError:
+                    out[child.tag] = txt
+
+    walk(root)
+    return out

@@ -4,13 +4,18 @@ reference engine."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment presets JAX_PLATFORMS=axon (the real
+# TPU tunnel), whose remote compiles take minutes; unit tests must run on
+# the virtual-device CPU backend. jax may already be imported by a pytest
+# plugin, so the env var alone is not enough — also update jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the physics step graph is large and this box is
 # small; caching makes repeat test runs fast.

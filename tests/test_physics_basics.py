@@ -220,4 +220,4 @@ def test_vmap_batch_consistency():
     single_jit = jax.jit(single)
     individual = jnp.stack([single_jit(p) for p in phases])
     np.testing.assert_allclose(np.asarray(batched), np.asarray(individual),
-                               rtol=1e-9)
+                               rtol=1e-9, atol=1e-12)
