@@ -1,0 +1,244 @@
+"""Shooting-method optimizers over the rollout actuation channel.
+
+The decision variable is a control sequence `u` of shape (K, X, Y, Z): knot k
+modulates every voxel's scale (fraction of nominal size) during steps
+[k·S/K, (k+1)·S/K) — exactly the thermal-actuation term the reference's
+evolution tunes via phase offsets (reference: VXS_Voxel.cpp:292-305), but
+free-form in time. All optimizers are pure functions of a PRNG key and jit
+end-to-end; candidate batches map onto `vmap`, so one chip evaluates the
+whole population per solver iteration (SURVEY.md §2.4 — the reference's
+process-per-candidate parallelism as SPMD).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from evosoro_tpu.core.rollout import init_state, rollout
+from evosoro_tpu.core.types import EnvParams, SimParams, SimState, VoxelBody
+
+
+def locomotion_cost(result) -> jnp.ndarray:
+    """Negative normalized CoM displacement (reference fitness:
+    VX_SimGA.cpp:36 NormFinalDist). Diverged rollouts score +inf-ish."""
+    return jnp.where(result.diverged, 1e9, -result.norm_final_dist)
+
+
+@dataclasses.dataclass(frozen=True)
+class CEMConfig:
+    num_iters: int = 8
+    pop_size: int = 64
+    elite_frac: float = 0.125
+    init_std: float = 0.02  # scale modulation is a fraction of voxel size
+    min_std: float = 1e-4
+    smoothing: float = 0.5  # mean/std EMA across iterations
+    u_clip: float = 0.2  # keep |u| within stable actuation range
+
+
+@struct.dataclass
+class CEMState:
+    mean: Any  # (K, X, Y, Z)
+    std: Any
+    best_u: Any
+    best_cost: Any
+    key: Any
+
+
+def _evaluate_batch(us, body, sim, env, num_steps, dt, state0, cost_fn):
+    def one(u):
+        res = rollout(
+            body, sim, env, num_steps=num_steps, dt=dt, state=state0,
+            control_sequence=u,
+        )
+        return cost_fn(res)
+
+    return jax.vmap(one)(us)
+
+
+@partial(jax.jit, static_argnames=("num_steps", "num_knots", "config",
+                                   "cost_fn"))
+def cem_optimize(
+    key,
+    body: VoxelBody,
+    sim: SimParams,
+    env: EnvParams,
+    num_steps: int,
+    num_knots: int,
+    config: CEMConfig = CEMConfig(),
+    state0: SimState | None = None,
+    dt=None,
+    cost_fn: Callable = locomotion_cost,
+    init_mean=None,
+):
+    """Cross-Entropy Method over control sequences. Returns (best_u, info).
+
+    Fully jitted: the CEM loop is a `lax.scan`, each iteration vmapping
+    `pop_size` rollouts — one XLA program per solve.
+    """
+    X, Y, Z = body.occ.shape
+    shape = (num_knots, X, Y, Z)
+    if state0 is None:
+        state0 = init_state(body)
+    mean0 = jnp.zeros(shape) if init_mean is None else init_mean
+    n_elite = max(1, int(config.pop_size * config.elite_frac))
+
+    def iteration(carry: CEMState, _):
+        key, sub = jax.random.split(carry.key)
+        eps = jax.random.normal(sub, (config.pop_size,) + shape, mean0.dtype)
+        us = carry.mean[None] + carry.std[None] * eps
+        us = jnp.clip(us, -config.u_clip, config.u_clip)
+        costs = _evaluate_batch(us, body, sim, env, num_steps, dt, state0, cost_fn)
+
+        elite_idx = jnp.argsort(costs)[:n_elite]
+        elites = us[elite_idx]
+        new_mean = jnp.mean(elites, axis=0)
+        new_std = jnp.std(elites, axis=0) + config.min_std
+        a = config.smoothing
+        mean = a * new_mean + (1 - a) * carry.mean
+        std = a * new_std + (1 - a) * carry.std
+
+        it_best = costs[elite_idx[0]]
+        better = it_best < carry.best_cost
+        best_u = jnp.where(better, us[elite_idx[0]], carry.best_u)
+        best_cost = jnp.where(better, it_best, carry.best_cost)
+        out = dict(best_cost=best_cost, mean_cost=jnp.mean(costs))
+        return CEMState(mean, std, best_u, best_cost, key), out
+
+    init = CEMState(
+        mean=mean0,
+        std=jnp.full(shape, config.init_std, mean0.dtype),
+        best_u=mean0,
+        best_cost=jnp.asarray(jnp.inf, mean0.dtype),
+        key=key,
+    )
+    final, info = jax.lax.scan(iteration, init, None, length=config.num_iters)
+    return final.best_u, dict(
+        best_cost=final.best_cost,
+        best_cost_trace=info["best_cost"],
+        mean_cost_trace=info["mean_cost"],
+        final_mean=final.mean,
+        final_std=final.std,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_steps", "num_knots", "num_iters",
+                                   "cost_fn"))
+def grad_optimize(
+    body: VoxelBody,
+    sim: SimParams,
+    env: EnvParams,
+    num_steps: int,
+    num_knots: int,
+    num_iters: int = 50,
+    lr: float = 1e-3,
+    state0: SimState | None = None,
+    dt=None,
+    cost_fn: Callable = locomotion_cost,
+    init_u=None,
+):
+    """First-order shooting: Adam on the rollout cost via BPTT.
+
+    The per-step physics is rematerialized (`jax.checkpoint` around sim_step
+    inside rollout's scan would be ideal; scan already gives O(T) with
+    activation saving — we wrap the whole rollout in checkpoint to bound
+    memory for long horizons). Contact nonsmoothness can make this landscape
+    rough — CEM is the robust default; this is the refinement pass
+    (SURVEY.md §7 hard part 5).
+    """
+    import optax
+
+    X, Y, Z = body.occ.shape
+    if state0 is None:
+        state0 = init_state(body)
+    u0 = jnp.zeros((num_knots, X, Y, Z)) if init_u is None else init_u
+
+    @jax.checkpoint
+    def cost(u):
+        res = rollout(
+            body, sim, env, num_steps=num_steps, dt=dt, state=state0,
+            control_sequence=u,
+        )
+        return cost_fn(res)
+
+    opt = optax.adam(lr)
+
+    def step(carry, _):
+        u, opt_state = carry
+        c, g = jax.value_and_grad(cost)(u)
+        updates, opt_state = opt.update(g, opt_state)
+        u = optax.apply_updates(u, updates)
+        return (u, opt_state), c
+
+    (u, _), cs = jax.lax.scan(step, (u0, opt.init(u0)), None, length=num_iters)
+    return u, dict(cost_trace=cs, final_cost=cs[-1])
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCController:
+    """Receding-horizon planner: CEM over a short lookahead, execute the
+    first `execute_knots` segment, warm-start the next plan by shifting."""
+
+    body: VoxelBody
+    sim: SimParams
+    env: EnvParams
+    dt: Any
+    plan_steps: int  # lookahead rollout length (steps)
+    plan_knots: int
+    execute_knots: int = 1
+    config: CEMConfig = CEMConfig()
+    cost_fn: Callable = locomotion_cost
+
+    def plan(self, key, state: SimState, warm_start=None):
+        u, info = cem_optimize(
+            key, self.body, self.sim, self.env, self.plan_steps,
+            self.plan_knots, self.config, state0=state, dt=self.dt,
+            cost_fn=self.cost_fn, init_mean=warm_start,
+        )
+        return u, info
+
+
+def mpc_run(
+    key,
+    controller: MPCController,
+    total_segments: int,
+):
+    """Closed-loop MPC: repeatedly plan → execute → advance the true state.
+
+    Returns (final_state, executed_controls, per-segment planned costs).
+    Python loop over segments (host decides when to stop, like the
+    reference's main.cpp driver loop); everything inside is jitted.
+    """
+    body, sim, env, dt = (controller.body, controller.sim, controller.env,
+                          controller.dt)
+    steps_per_knot = controller.plan_steps // controller.plan_knots
+    exec_steps = steps_per_knot * controller.execute_knots
+
+    @jax.jit
+    def execute(state, u_exec):
+        res = rollout(body, sim, env, num_steps=exec_steps, dt=dt,
+                      state=state, control_sequence=u_exec)
+        return res.final_state
+
+    state = init_state(body)
+    warm = None
+    executed = []
+    costs = []
+    for _ in range(total_segments):
+        key, sub = jax.random.split(key)
+        u, info = controller.plan(sub, state, warm_start=warm)
+        u_exec = u[: controller.execute_knots]
+        state = execute(state, u_exec)
+        executed.append(u_exec)
+        costs.append(info["best_cost"])
+        # shift plan for warm start: drop executed knots, repeat the tail
+        warm = jnp.concatenate(
+            [u[controller.execute_knots:],
+             jnp.repeat(u[-1:], controller.execute_knots, axis=0)], axis=0
+        )
+    return state, jnp.concatenate(executed, axis=0), jnp.stack(costs)

@@ -5,6 +5,12 @@ from evosoro_tpu.core.constants import (  # noqa: F401
     PREC_MED,
     Precision,
 )
+from evosoro_tpu.core.collision import (  # noqa: F401
+    CollisionSystem,
+    attach_collision_system,
+    build_collision_system,
+    collision_forces,
+)
 from evosoro_tpu.core.materials import (  # noqa: F401
     build_body,
     calc_max_dt,

@@ -456,6 +456,15 @@ def sim_step(
     for d in range(3):
         total_force = total_force + bonds[d]["f1"] + _from_nbr(bonds[d]["f2"], d)
 
+    # self-collision contact (reference: VXS_Voxel.cpp:516-528 via
+    # VXS_BondCollision; candidate management in core/collision.py)
+    if sim.self_collisions_enabled and body.collision is not None:
+        from evosoro_tpu.core.collision import collision_forces
+
+        total_force = total_force + collision_forces(
+            state.pos, state.scale, body.collision
+        )
+
     gravity_on = env.gravity_enabled and not env.fluid_environment
     if gravity_on:
         total_force = total_force.at[..., 2].add(body.mass * env.grav_acc)

@@ -223,6 +223,9 @@ class VoxelBody:
     d_b3i1: Any
     d_b3i2: Any
 
+    # optional self-collision tables (core.collision.CollisionSystem)
+    collision: Any = None
+
     # devo usage flags (static: gate code paths)
     using_phase_offset: bool = struct.field(pytree_node=False, default=True)
     using_final_phase_offset: bool = struct.field(pytree_node=False, default=False)

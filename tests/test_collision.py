@@ -1,0 +1,79 @@
+"""Self-collision: sphere-envelope contact between surface voxels
+(reference semantics: VXS_BondCollision.cpp:41-59, VX_Sim.cpp:2357-2414)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evosoro_tpu.core.collision import (
+    attach_collision_system,
+    build_collision_system,
+    collision_forces,
+)
+from evosoro_tpu.core.materials import build_body, palette_from_list
+from evosoro_tpu.core.rollout import init_state, rollout
+from evosoro_tpu.core.types import EnvParams, SimParams, evosoro_default_palette
+
+
+def _two_block_body():
+    """Two single voxels separated by one empty cell along x."""
+    structure = np.zeros((3, 1, 1), dtype=np.int32)
+    structure[0, 0, 0] = 1
+    structure[2, 0, 0] = 1
+    pal = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, pal, lattice_dim=0.01)
+    return attach_collision_system(body)
+
+
+def test_surface_and_exclusion_tables():
+    structure = np.zeros((4, 1, 1), dtype=np.int32)
+    structure[:2, 0, 0] = 1  # bonded pair
+    structure[3, 0, 0] = 1  # separate voxel
+    cs = build_collision_system(structure, np.full((4, 1, 1), 1e7), 0.01)
+    assert int(cs.surf_mask.sum()) == 3  # all three are surface voxels
+    # bonded neighbors (0,1) are lattice-nearby → excluded
+    allowed = np.asarray(cs.allowed)
+    mask = np.asarray(cs.surf_mask)
+    idx = {tuple(r): i for i, r in enumerate(np.asarray(cs.surf_idx)) if mask[i]}
+    i01 = idx[(0, 0, 0)], idx[(1, 0, 0)]
+    i3 = idx[(3, 0, 0)]
+    assert not allowed[i01[0], i01[1]]
+    # voxel 3 is 2 empty-gap away from voxel 1: no bond path → allowed
+    assert allowed[i01[1], i3] and allowed[i3, i01[1]]
+    assert not allowed[i3, i3]
+
+
+def test_no_force_when_separated():
+    body = _two_block_body()
+    st = init_state(body)
+    f = collision_forces(st.pos, st.scale, body.collision)
+    assert float(jnp.max(jnp.abs(f))) == 0.0
+
+
+def test_repulsion_when_overlapping():
+    body = _two_block_body()
+    st = init_state(body)
+    # move the right voxel to within the 1.5-voxel contact envelope
+    pos = st.pos.at[2, 0, 0, 0].set(st.pos[0, 0, 0, 0] + 0.012)
+    f = collision_forces(pos, st.scale, body.collision)
+    fx_left = float(f[0, 0, 0, 0])
+    fx_right = float(f[2, 0, 0, 0])
+    assert fx_left < 0 and fx_right > 0  # pushed apart
+    np.testing.assert_allclose(fx_left, -fx_right, rtol=1e-6)
+    # magnitude = a1·overlap = E_comp·L·(0.015 − 0.012)
+    e = 5e6
+    a1 = e * 0.01  # homogeneous pair → E_comp = E
+    np.testing.assert_allclose(fx_right, a1 * 0.003, rtol=1e-5)
+    # empty cell gets no force
+    assert float(jnp.max(jnp.abs(f[1]))) == 0.0
+
+
+def test_rollout_with_collisions_stays_finite():
+    body = _two_block_body()
+    sim = SimParams(
+        stop_condition_value=0.05, init_cm_time=0.0, self_collisions_enabled=True
+    )
+    env = EnvParams()
+    res = jax.jit(lambda: rollout(body, sim, env, num_steps=50))()
+    assert not bool(res.diverged)
+    assert np.all(np.isfinite(np.asarray(res.final_state.pos)))
