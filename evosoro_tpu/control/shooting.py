@@ -85,7 +85,8 @@ def cem_optimize(
     shape = (num_knots, X, Y, Z)
     if state0 is None:
         state0 = init_state(body)
-    mean0 = jnp.zeros(shape) if init_mean is None else init_mean
+    dtype = body.nom_pos.dtype
+    mean0 = jnp.zeros(shape, dtype) if init_mean is None else jnp.asarray(init_mean, dtype)
     n_elite = max(1, int(config.pop_size * config.elite_frac))
 
     def iteration(carry: CEMState, _):
@@ -156,7 +157,9 @@ def grad_optimize(
     X, Y, Z = body.occ.shape
     if state0 is None:
         state0 = init_state(body)
-    u0 = jnp.zeros((num_knots, X, Y, Z)) if init_u is None else init_u
+    dtype = body.nom_pos.dtype
+    u0 = (jnp.zeros((num_knots, X, Y, Z), dtype) if init_u is None
+          else jnp.asarray(init_u, dtype))
 
     @jax.checkpoint
     def cost(u):

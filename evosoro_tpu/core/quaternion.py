@@ -16,6 +16,13 @@ import jax.numpy as jnp
 from evosoro_tpu.core.constants import DEFAULT_PRECISION, Precision
 
 
+def _safe_sqrt(x, guard):
+    """sqrt evaluated only where `guard`; 0 elsewhere, with the argument
+    sanitized so reverse-mode AD never sees d(sqrt)/dx at x=0 (the 0·inf=NaN
+    trap of jnp.where)."""
+    return jnp.where(guard, jnp.sqrt(jnp.where(guard, x, 1.0)), 0.0)
+
+
 def quat_identity(shape, dtype=jnp.float32):
     q = jnp.zeros(shape + (4,), dtype=dtype)
     return q.at[..., 0].set(1.0)
@@ -79,7 +86,7 @@ def quat_rotate_inv(q, v):
 def quat_normalize_fast(q):
     """Normalize; snap to identity when w>=1 (reference: Vec3D.h:243-246)."""
     l2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    li = jnp.where(l2 > 0, 1.0 / jnp.sqrt(l2), 1.0)
+    li = jnp.where(l2 > 0, 1.0 / jnp.sqrt(jnp.where(l2 > 0, l2, 1.0)), 1.0)
     qn = q * li
     w_ge_1 = qn[..., :1] >= 1.0
     ident = jnp.zeros_like(qn).at[..., 0].set(1.0)
@@ -89,9 +96,9 @@ def quat_normalize_fast(q):
 def quat_from_rotation_vector(rv):
     """Angle-axis exp map (reference: Vec3D.h:203-207 FromRotationVector)."""
     angle2 = jnp.sum(rv * rv, axis=-1, keepdims=True)
-    angle = jnp.sqrt(angle2)
-    safe = jnp.where(angle > 0, angle, 1.0)
-    axis = rv / safe
+    nz = angle2 > 0
+    angle = _safe_sqrt(angle2, nz)
+    axis = rv / jnp.where(nz, angle, 1.0)
     half = 0.5 * angle
     s = jnp.sin(half)
     w = jnp.cos(half)
@@ -106,13 +113,17 @@ def quat_to_rotation_vector(q, prec: Precision = DEFAULT_PRECISION):
     xyz = q[..., 1:]
     sq_len = 1.0 - w * w  # = x²+y²+z² for unit quats, per reference
     wc = jnp.minimum(w, 1.0)
-    safe_sq = jnp.where(sq_len > 0, sq_len, 1.0)
-    inv_sqrt = 1.0 / jnp.sqrt(safe_sq)
-    # fast path: acos(w) ~ sqrt(2-2w) for w near 1
-    scale_fast = 2.0 * jnp.sqrt(jnp.maximum(2.0 - 2.0 * wc, 0.0)) * inv_sqrt
-    scale_slow = 2.0 * jnp.arccos(jnp.clip(wc, -1.0, 1.0)) * inv_sqrt
-    scale = jnp.where(sq_len < prec.sl_thresh_acos2sqrt, scale_fast, scale_slow)
-    scale = jnp.where(sq_len <= 0, 0.0, scale)
+    pos = sq_len > 0
+    inv_sqrt = 1.0 / jnp.sqrt(jnp.where(pos, sq_len, 1.0))
+    # fast path: acos(w) ~ sqrt(2-2w) for w near 1 — arguments sanitized so
+    # the non-selected branch can't emit inf cotangents under reverse AD
+    fast_sel = sq_len < prec.sl_thresh_acos2sqrt
+    fast_arg = jnp.where(pos & fast_sel, jnp.maximum(2.0 - 2.0 * wc, 0.0), 1.0)
+    scale_fast = 2.0 * jnp.sqrt(fast_arg) * inv_sqrt
+    slow_arg = jnp.where(pos & ~fast_sel, jnp.clip(wc, -1.0, 1.0), 0.0)
+    scale_slow = 2.0 * jnp.arccos(slow_arg) * inv_sqrt
+    scale = jnp.where(fast_sel, scale_fast, scale_slow)
+    scale = jnp.where(pos, scale, 0.0)
     return xyz * scale[..., None]
 
 
@@ -138,11 +149,14 @@ def quat_from_angle_to_pos_x(v, prec: Precision = DEFAULT_PRECISION):
     qs_z = -0.5 * y_over_x
     qs_w = 1.0 + 0.5 * (-qs_y * qs_y - qs_z * qs_z)
 
-    # --- general path ---
+    # --- general path (inputs sanitized where the small path is selected:
+    # v exactly along +X gives nx=1 → arccos'(1)=inf would NaN the backward
+    # pass even though the small path's value is the one selected) ---
     norm2 = vx * vx + vy * vy + vz * vz
     inv_norm = jnp.where(norm2 > 0, 1.0 / jnp.sqrt(jnp.where(norm2 > 0, norm2, 1.0)), 0.0)
     nx, ny, nz = vx * inv_norm, vy * inv_norm, vz * inv_norm
-    theta = jnp.arccos(jnp.clip(nx, -1.0, 1.0))
+    nx_g = jnp.where(small, 0.0, jnp.clip(nx, -1.0, 1.0))
+    theta = jnp.arccos(nx_g)
     yz2 = nz * nz + ny * ny
     axis_mag_inv = 1.0 / jnp.sqrt(jnp.where(yz2 > 0, yz2, 1.0))
     half = 0.5 * theta

@@ -165,7 +165,12 @@ def rollout(
     final_cm = center_of_mass(final, body)
     delta = final_cm - carry.ini_cm
     L = body.nominal_size
-    norm_final_dist = jnp.sqrt(delta[0] ** 2 + delta[1] ** 2) / L
+    dsq = delta[0] ** 2 + delta[1] ** 2
+    # double-where: keep the gradient finite at zero displacement (the
+    # zero-control BPTT starting point would otherwise NaN immediately)
+    norm_final_dist = jnp.where(
+        dsq > 0, jnp.sqrt(jnp.where(dsq > 0, dsq, 1.0)), 0.0
+    ) / L
     final_dist_y = delta[1] / L
     # diverged rollouts score worst (evosoro assigns worst fitness on crash:
     # tools/evaluation.py:107-110)

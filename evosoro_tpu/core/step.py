@@ -45,6 +45,13 @@ def _safe_div(a, b):
     return jnp.where(nz, a / jnp.where(nz, b, 1.0), 0.0)
 
 
+def _safe_norm(*components):
+    """|v| with a zero (not NaN) gradient at v = 0 (double-where trick)."""
+    sq = sum(c * c for c in components)
+    nz = sq > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Axis-frame permutations (reference: VX_Bond.h:45-48 ToXDirBond/ToOrigDirBond)
 # ---------------------------------------------------------------------------
@@ -133,7 +140,7 @@ def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
     # --- large-angle frame (reference: :101-118) ---
     p2ar = q.quat_from_angle_to_pos_x(ang1_rel, prec)
     totrot_large = q.quat_multiply(p2ar, q.quat_conjugate(q1))
-    length = jnp.sqrt(jnp.sum(rel * rel, axis=-1))
+    length = _safe_norm(rel[..., 0], rel[..., 1], rel[..., 2])
     pos2_large = jnp.stack(
         [length - nom_dist, jnp.zeros_like(length), jnp.zeros_like(length)], axis=-1
     )
@@ -320,10 +327,8 @@ def _floor_effect(state, body, sim: SimParams, env: EnvParams, vel, total_force,
 
     vx, vy = vel[..., 0], vel[..., 1]
     stopped = (vx == 0.0) & (vy == 0.0)
-    surface_vel = jnp.sqrt(vx * vx + vy * vy)
-    surface_force = jnp.sqrt(
-        total_force[..., 0] ** 2 + total_force[..., 1] ** 2
-    )
+    surface_vel = _safe_norm(vx, vy)
+    surface_force = _safe_norm(total_force[..., 0], total_force[..., 1])
     dyn_fric = body.u_dynamic * normal_force
 
     # static: stopped & insufficient lateral force to break away (:741-743)
@@ -489,7 +494,7 @@ def sim_step(
     linmom = linmom + total_force * dt
     disp = linmom * (dt * body.mass_inv[..., None])
     if sim.max_velocity_enabled:
-        disp_mag = jnp.sqrt(jnp.sum(disp * disp, axis=-1, keepdims=True))
+        disp_mag = _safe_norm(disp[..., 0], disp[..., 1], disp[..., 2])[..., None]
         max_disp = sim.max_vox_vel_limit * body.nominal_size
         scale_back = jnp.where(disp_mag > max_disp, max_disp / jnp.where(disp_mag > 0, disp_mag, 1.0), 1.0)
         disp = disp * scale_back
@@ -552,7 +557,8 @@ def sim_step(
     new_scale = _scale_update(state, body, sim, env, t)
     if control_offset is not None:
         # MPC direct actuation channel: additive scale modulation
-        new_scale = new_scale + jnp.where(occ, control_offset * body.nominal_size, 0.0)
+        ctrl_off = jnp.asarray(control_offset, new_scale.dtype)
+        new_scale = new_scale + jnp.where(occ, ctrl_off * body.nominal_size, 0.0)
 
     # ---- kinetic energy bookkeeping / equilibrium mode ----
     vel_new = linmom * body.mass_inv[..., None]
