@@ -3,7 +3,10 @@
 Replaces the reference's `while !StopConditionMet(): TimeStep()` driver loop
 (reference: voxelyzeMain/main.cpp:89-111) with a compiled scan of fixed step
 count; stop conditions other than max-sim-time become freeze masks. Fitness
-metrics are pure reductions replicating VX_SimGA.cpp:36-124.
+metrics are pure reductions replicating the full result-file surface of
+VX_SimGA.cpp:25-203 (NormFinalDist/NormRegimeDist/NormFrozenDist, anterior/
+posterior stats, feet/floor touch counts, needle-in-haystack push distance,
+fall-over zeroing, CoM and volume traces, volume-normalized distances).
 """
 
 from __future__ import annotations
@@ -19,6 +22,8 @@ from evosoro_tpu.core.constants import DEFAULT_PRECISION, Precision
 from evosoro_tpu.core.materials import calc_max_dt
 from evosoro_tpu.core.step import sim_step
 from evosoro_tpu.core.types import EnvParams, SimParams, SimState, VoxelBody
+
+_BIG = 1e5  # reference sentinel for "min over voxels" scans (VX_Sim.cpp:2603)
 
 
 def init_state(body: VoxelBody, dtype=None) -> SimState:
@@ -53,17 +58,64 @@ def center_of_mass(state: SimState, body: VoxelBody):
     ) / jnp.where(total_mass > 0, total_mass, 1.0)
 
 
+def total_volume(state: SimState, body: VoxelBody):
+    """Σ scale³ over occupied voxels — the in-scan robot-volume trace.
+
+    The reference's getTotalVolume() integrates the deformed surface mesh
+    (VX_MeshUtil.cpp:902-948); the per-voxel cube volume agrees up to shear
+    deformation of the mesh and is differentiable inside the scan. The exact
+    mesh version is available host-side (core/shape.py robot_volume).
+    """
+    return jnp.sum(jnp.where(body.occ, state.scale**3, 0.0))
+
+
+def floor_penetration(state: SimState, body: VoxelBody):
+    """Per-voxel ground penetration 0.5·scale − z (reference:
+    VXS_Voxel.cpp:700-706 GetCurGroundPenetration), masked to occupancy."""
+    pen = 0.5 * state.scale - state.pos[..., 2]
+    return jnp.where(body.occ, pen, 0.0)
+
+
+def _touch_counts(state: SimState, body: VoxelBody):
+    """(num_touching, num_mat6_touching) — reference VX_Sim.cpp:2432-2441
+    GetNumTouchingFloor and :2698-2713 GetNumNonFeetTouchingFloor (which
+    counts material-6 "feet" voxels with positive ground penetration)."""
+    pen = floor_penetration(state, body)
+    touching = pen > 0
+    n_all = jnp.sum(touching & body.occ)
+    n_feet = jnp.sum(touching & (body.mat == 6))
+    return n_all, n_feet
+
+
 @struct.dataclass
 class RolloutResult:
-    """Outputs of one rollout (batched via vmap)."""
+    """Outputs of one rollout (batched via vmap) — the TPU analog of the
+    reference fitness XML (VX_SimGA.cpp:140-203 WriteResultFile)."""
 
     final_state: SimState
     ini_cm: Any  # CoM captured when t first exceeds init_cm_time
     final_cm: Any
-    norm_final_dist: Any  # |ΔCoM_xy| / lattice_dim (VX_SimGA.cpp:36)
-    final_dist_y: Any  # ΔCoM_y / lattice_dim
+    norm_final_dist: Any  # <NormFinalDist> (minus frozen-window distance)
+    final_dist: Any  # <FinalDist> |ΔCoM_xy| / lattice_dim
+    final_dist_y: Any  # <finalDistY>
+    norm_regime_dist: Any  # <NormRegimeDist> (afterlife displacement)
+    norm_frozen_dist: Any  # <NormFrozenDist>
+    anterior_dist: Any  # <AnteriorDist> max voxel XY dist from IniCM / L
+    posterior_dist: Any  # <PosteriorDist> min of the same
+    anterior_y: Any  # <AnteriorY> max voxel y (mat != 5)
+    posterior_y: Any  # <PosteriorY> min voxel y (mat != 5)
+    end_of_life_posterior_y: Any  # <EndOfLifePosteriorY>
+    fall_adj_post_y: Any  # <FallAdjPostY>
+    fell_over: Any  # fall-over latch (VX_Sim.cpp:1414-1419)
+    num_touching_floor: Any  # <NumTouchingFloor>
+    num_non_feet_touching_floor: Any  # <NumNonFeetTouchingFloor>
+    lifetime: Any  # <Lifetime> = final time − afterlife
+    found_needle: Any  # <FoundNeedleInHaystack>
+    push_dist: Any  # <PushDist>
+    norm_window_dist: Any  # GetWindowDist (VX_Sim.cpp:2745-2784)
     diverged: Any
     cm_trace: Any  # (T_trace, 3) CoM snapshots (SS.CMTrace analog)
+    vol_trace: Any  # (T_trace,) robot volume snapshots (SS.VolTrace)
     trace_times: Any
 
 
@@ -71,12 +123,16 @@ class _Carry(NamedTuple):
     state: SimState
     ini_cm: jnp.ndarray
     cm_initialized: jnp.ndarray
+    eol_posterior_y: jnp.ndarray
+    eol_captured: jnp.ndarray
+    fell_over: jnp.ndarray
+    ini_needle: jnp.ndarray
+    needle_initialized: jnp.ndarray
 
 
 def num_steps_for(body: VoxelBody, sim: SimParams, dt=None) -> int:
-    """Concrete step count covering the sim's stop-condition time.
-
-    Host-side helper (dt must be concrete): the scan length is static.
+    """Concrete step count covering the sim's stop-condition time (incl.
+    afterlife). Host-side helper (dt must be concrete): scan length is static.
     """
     import numpy as np
 
@@ -84,6 +140,35 @@ def num_steps_for(body: VoxelBody, sim: SimParams, dt=None) -> int:
         dt = float(calc_max_dt(body)) * float(sim.dt_frac)
     total = float(sim.stop_condition_value) + float(sim.afterlife_time)
     return int(np.ceil(total / dt))
+
+
+def _needle_pos(state: SimState, body: VoxelBody):
+    """Position of the material-7 "needle" voxel (reference:
+    VX_Sim.cpp:2715-2727 GetNeedlePosition — last mat-7 voxel in scan order;
+    designs carry at most one, so a masked sum is exact)."""
+    is_needle = (body.mat == 7)[..., None]
+    n = jnp.sum(is_needle)
+    return jnp.sum(jnp.where(is_needle, state.pos, 0.0), axis=(0, 1, 2)) / jnp.maximum(
+        n, 1
+    )
+
+
+def _posterior_y(state: SimState, body: VoxelBody):
+    valid = body.occ & (body.mat != 5)
+    return jnp.min(jnp.where(valid, state.pos[..., 1], _BIG))
+
+
+def _norm_dist_by_vol(cm_y, vols, mask, L, exponent):
+    """Σ Δy/L / ((V_i + V_{i-1})/2)^exp over trace intervals whose endpoint
+    is in `mask` (reference: VX_SimGA.cpp:58-117). Interval i-1→i counts when
+    mask[i] & mask[i-1] (the reference keeps separate per-regime trace lists;
+    boundary-crossing intervals are excluded here, a sub-trace-interval
+    difference)."""
+    dy = (cm_y[1:] - cm_y[:-1]) / L
+    avg_v = 0.5 * (vols[1:] + vols[:-1])
+    m = mask[1:] & mask[:-1]
+    safe_v = jnp.where(avg_v > 0, avg_v, 1.0)
+    return jnp.sum(jnp.where(m, dy / safe_v**exponent, 0.0))
 
 
 def rollout(
@@ -99,12 +184,13 @@ def rollout(
     unroll: int = 1,
     stop_time=None,
 ) -> RolloutResult:
-    """Run `num_steps` of physics and reduce fitness statistics.
+    """Run `num_steps` of physics and reduce the full fitness-statistic set.
 
     `control_sequence`: optional (num_control_knots, X, Y, Z) per-voxel scale
     modulation; knot k is active for steps [k*S/K, (k+1)*S/K) — the MPC
-    actuation channel. `trace_every > 0` records the CoM every that many
-    steps (analog of TimeBetweenTraces, VX_Environment.h).
+    actuation channel. `trace_every > 0` records the CoM and robot volume
+    every that many steps (analog of TimeBetweenTraces, VX_Environment.h);
+    it is required for the NormDistByVol fitness family.
 
     `stop_time`: optional per-rollout SC_MAX_SIM_TIME value; once a rollout's
     sim time passes it, its state freezes for the remaining steps. This lets
@@ -117,6 +203,7 @@ def rollout(
         state = init_state(body)
 
     n_knots = 0 if control_sequence is None else control_sequence.shape[0]
+    want_trace = trace_every > 0 or env.norm_dist_by_vol
 
     def step_fn(carry: _Carry, i):
         st = carry.state
@@ -128,61 +215,188 @@ def rollout(
         ini_cm = jnp.where(capture, cm_now, carry.ini_cm)
         cm_initialized = carry.cm_initialized | capture
 
+        # end-of-lifetime posterior-Y capture (reference: VX_Sim.cpp:1078-1082)
+        eol_cap = (~carry.eol_captured) & (st.time >= sim.stop_condition_value)
+        eol_y = jnp.where(eol_cap, _posterior_y(st, body), carry.eol_posterior_y)
+        eol_captured = carry.eol_captured | eol_cap
+
+        # needle initial position (reference: VX_Sim.cpp:1084-1088)
+        if env.needle_in_haystack:
+            ncap = (~carry.needle_initialized) & (st.time > sim.init_cm_time)
+            ini_needle = jnp.where(ncap, _needle_pos(st, body), carry.ini_needle)
+            needle_init = carry.needle_initialized | ncap
+        else:
+            ini_needle = carry.ini_needle
+            needle_init = carry.needle_initialized
+
+        # fall-over latch: more material-6 feet than non-feet touching the
+        # floor ends the sim (reference: VX_Sim.cpp:1412-1419)
+        fell = carry.fell_over
+        if env.falling_prohibited:
+            n_all, n_feet = _touch_counts(st, body)
+            fell = fell | (
+                (st.time > sim.init_cm_time) & (n_feet > n_all - n_feet)
+            )
+
         ctrl = None
         if control_sequence is not None:
             knot = jnp.minimum(i * n_knots // num_steps, n_knots - 1)
             ctrl = control_sequence[knot]
 
         new_state = sim_step(st, body, sim, env, dt, prec, control_offset=ctrl)
+        stopped = fell
         if stop_time is not None:
-            stopped = st.time >= stop_time
-            new_state = jax.tree_util.tree_map(
-                lambda old, new: jnp.where(stopped, old, new), st, new_state
-            )
+            stopped = stopped | (st.time >= stop_time)
+        new_state = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(stopped, old, new), st, new_state
+        )
 
         out = ()
-        if trace_every:
-            out = (cm_now, st.time)
-        return _Carry(new_state, ini_cm, cm_initialized), out
+        if want_trace:
+            out = (cm_now, total_volume(st, body), st.time)
+        return (
+            _Carry(new_state, ini_cm, cm_initialized, eol_y, eol_captured,
+                   fell, ini_needle, needle_init),
+            out,
+        )
 
+    dtype = state.pos.dtype
     carry0 = _Carry(
         state,
         center_of_mass(state, body),
         jnp.zeros((), bool),
+        jnp.zeros((), dtype),
+        jnp.zeros((), bool),
+        jnp.zeros((), bool),
+        _needle_pos(state, body),
+        jnp.zeros((), bool),
     )
     xs = jnp.arange(num_steps)
-    if trace_every:
-        # sample the scan outputs every trace_every steps
-        carry, (cms, times) = jax.lax.scan(step_fn, carry0, xs, unroll=unroll)
-        cm_trace = cms[::trace_every]
-        trace_times = times[::trace_every]
+    stride = max(trace_every, 1)
+    if want_trace:
+        carry, (cms, vols, times) = jax.lax.scan(step_fn, carry0, xs, unroll=unroll)
+        cm_trace = cms[::stride]
+        vol_trace = vols[::stride]
+        trace_times = times[::stride]
     else:
         carry, _ = jax.lax.scan(step_fn, carry0, xs, unroll=unroll)
-        cm_trace = None
-        trace_times = None
+        cm_trace = vol_trace = trace_times = None
 
     final = carry.state
-    final_cm = center_of_mass(final, body)
-    delta = final_cm - carry.ini_cm
     L = body.nominal_size
+    final_cm = center_of_mass(final, body)
+    ini_cm = carry.ini_cm
+    delta = final_cm - ini_cm
     dsq = delta[0] ** 2 + delta[1] ** 2
     # double-where: keep the gradient finite at zero displacement (the
     # zero-control BPTT starting point would otherwise NaN immediately)
-    norm_final_dist = jnp.where(
+    final_dist = jnp.where(
         dsq > 0, jnp.sqrt(jnp.where(dsq > 0, dsq, 1.0)), 0.0
     ) / L
     final_dist_y = delta[1] / L
+
+    # anterior/posterior voxel extremes (reference: VX_Sim.cpp:2584-2697)
+    vdel = final.pos[..., :2] - ini_cm[:2]
+    vdsq = jnp.sum(vdel * vdel, axis=-1)
+    vdist = jnp.where(vdsq > 0, jnp.sqrt(jnp.where(vdsq > 0, vdsq, 1.0)), 0.0) / L
+    anterior_dist = jnp.max(jnp.where(body.occ, vdist, 0.0))
+    posterior_dist = jnp.min(jnp.where(body.occ, vdist, _BIG))
+    non_obstacle = body.occ & (body.mat != 5)
+    anterior_y = jnp.max(jnp.where(non_obstacle, final.pos[..., 1], 0.0))
+    posterior_y = jnp.min(jnp.where(non_obstacle, final.pos[..., 1], _BIG))
+
+    n_all, n_feet = _touch_counts(final, body)
+
+    # volume-normalized distances over the trace (reference:
+    # VX_SimGA.cpp:58-117) — plain |ΔCoM| when NormDistByVol is off
+    norm_final_dist = final_dist
+    norm_frozen_dist = jnp.zeros_like(final_dist)
+    # (the reference subtracts the raw-meters posterior Y from the
+    # L-normalized posterior distance — replicated verbatim for parity:
+    # VX_SimGA.cpp:39 normRegimeDist)
+    norm_regime_dist = posterior_dist - carry.eol_posterior_y
+    if env.norm_dist_by_vol and want_trace:
+        exp = env.normalization_exponent
+        cm_y = cm_trace[:, 1]
+        life = trace_times <= sim.stop_condition_value
+        norm_final_dist = _norm_dist_by_vol(
+            cm_y, vol_trace, jnp.ones_like(life), L, exp
+        )
+        if sim.afterlife_time is not None:
+            regime = trace_times > sim.stop_condition_value
+            norm_regime_dist = _norm_dist_by_vol(cm_y, vol_trace, regime, L, exp)
+        # frozen window mask (reference: VX_Sim.cpp:1090-1104)
+        middle = 0.5 * (sim.stop_condition_value - sim.init_cm_time)
+        fs = middle - 0.5 * sim.mid_life_freeze_time + sim.init_cm_time
+        fe = middle + 0.5 * sim.mid_life_freeze_time
+        frozen = (trace_times > fs) & (trace_times < fe)
+        norm_frozen_dist = _norm_dist_by_vol(cm_y, vol_trace, frozen, L, exp)
+
+    # fixed trailing window distance (reference: VX_Sim.cpp:2745-2784)
+    norm_window_dist = jnp.zeros_like(final_dist)
+    if env.num_trace_steps_in_window > 0 and want_trace:
+        w = min(env.num_trace_steps_in_window, int(cm_trace.shape[0]))
+        norm_window_dist = _norm_dist_by_vol(
+            cm_trace[-w:, 1], vol_trace[-w:],
+            jnp.ones((w,), bool), L, env.normalization_exponent,
+        )
+
+    # needle-in-haystack (reference: VX_SimGA.cpp:45-55)
+    if env.needle_in_haystack:
+        npos = _needle_pos(final, body)
+        nd = npos[:2] - carry.ini_needle[:2]
+        ndsq = nd[0] ** 2 + nd[1] ** 2
+        push_dist = jnp.where(
+            ndsq > 0, jnp.sqrt(jnp.where(ndsq > 0, ndsq, 1.0)), 0.0
+        ) / L
+        found_needle = (ndsq > 0).astype(jnp.int32)
+    else:
+        push_dist = jnp.zeros_like(final_dist)
+        found_needle = jnp.zeros((), jnp.int32)
+
+    # fall-over zeroing (reference: VX_SimGA.cpp:115-126)
+    fall_adj_post_y = carry.eol_posterior_y
+    if env.falling_prohibited:
+        Z = body.occ.shape[2]
+        height = Z * L
+        zero = carry.fell_over
+        fall_adj_post_y = jnp.where(zero, fall_adj_post_y - height, fall_adj_post_y)
+        norm_final_dist = jnp.where(zero, 0.0, norm_final_dist)
+        norm_regime_dist = jnp.where(zero, 0.0, norm_regime_dist)
+        norm_frozen_dist = jnp.where(zero, 0.0, norm_frozen_dist)
+
+    # the reported headline fitness subtracts the frozen-window distance
+    # (reference: VX_SimGA.cpp:145 "NormFinalDist" element)
+    norm_final_dist = norm_final_dist - norm_frozen_dist
+
     # diverged rollouts score worst (evosoro assigns worst fitness on crash:
     # tools/evaluation.py:107-110)
     norm_final_dist = jnp.where(final.diverged, 0.0, norm_final_dist)
 
     return RolloutResult(
         final_state=final,
-        ini_cm=carry.ini_cm,
+        ini_cm=ini_cm,
         final_cm=final_cm,
         norm_final_dist=norm_final_dist,
+        final_dist=final_dist,
         final_dist_y=final_dist_y,
+        norm_regime_dist=norm_regime_dist,
+        norm_frozen_dist=norm_frozen_dist,
+        anterior_dist=anterior_dist,
+        posterior_dist=posterior_dist,
+        anterior_y=anterior_y,
+        posterior_y=posterior_y,
+        end_of_life_posterior_y=carry.eol_posterior_y,
+        fall_adj_post_y=fall_adj_post_y,
+        fell_over=carry.fell_over,
+        num_touching_floor=n_all,
+        num_non_feet_touching_floor=n_feet,
+        lifetime=final.time - sim.afterlife_time,
+        found_needle=found_needle,
+        push_dist=push_dist,
+        norm_window_dist=norm_window_dist,
         diverged=final.diverged,
         cm_trace=cm_trace,
+        vol_trace=vol_trace,
         trace_times=trace_times,
     )

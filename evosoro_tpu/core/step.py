@@ -379,8 +379,18 @@ def _scale_update(state, body, sim: SimParams, env: EnvParams, t):
     dev_phase = jnp.zeros_like(nom)
     dev_ampdamp = jnp.zeros_like(nom)
     if body.using_growth_time or body.using_final_voxel_size:
+        # mid-life development freeze (reference: VXS_Voxel.cpp:242-265):
+        # FrozenTimeAdj = clamp(t - FreezeStart, 0, FreezeTime) pauses the
+        # effective development clock inside the freeze window. With
+        # mid_life_freeze_time = 0 this reduces to the unfrozen ramp.
+        freeze = sim.mid_life_freeze_time
+        middle = 0.5 * (sim.stop_condition_value - sim.init_cm_time)
+        frozen_adj = jnp.clip(t - (middle - 0.5 * freeze), 0.0, freeze)
         growing = (t >= body.start_growth_time) & (body.growth_time > 0)
-        eff_t = jnp.minimum(t, body.start_growth_time + body.growth_time)
+        eff_t = (
+            jnp.minimum(t, body.start_growth_time + body.growth_time + freeze)
+            - frozen_adj
+        )
         k = jnp.where(
             growing, _safe_div(eff_t - body.start_growth_time, body.growth_time), 0.0
         )

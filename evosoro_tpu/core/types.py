@@ -73,6 +73,14 @@ class EnvParams:
     floor_radius: Any = 0.0  # limited circular floor radius (VXS_Voxel.cpp:677-700)
     # aquatic (land_water fork: VX_Environment.cpp:190-191)
     aggregate_drag_coefficient: Any = 0.0
+    # traces / volume-normalized fitness (VX_Environment.h TimeBetweenTraces,
+    # NormDistByVol exponent; window VX_Sim.cpp:2745-2760)
+    time_between_traces: Any = 0.01
+    normalization_exponent: Any = 1.0
+    num_trace_steps_in_window: int = struct.field(pytree_node=False, default=0)
+    norm_dist_by_vol: bool = struct.field(pytree_node=False, default=False)
+    falling_prohibited: bool = struct.field(pytree_node=False, default=False)
+    needle_in_haystack: bool = struct.field(pytree_node=False, default=False)
 
     gravity_enabled: bool = struct.field(pytree_node=False, default=True)
     floor_enabled: bool = struct.field(pytree_node=False, default=True)

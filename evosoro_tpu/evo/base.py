@@ -130,15 +130,29 @@ class Env(VoxCadParams):
         self.aggregate_drag_coefficient = aggregate_drag_coefficient
 
     def to_env_params(self) -> EnvParams:
+        # ad-hoc add_param() attributes become first-class EnvParams fields
+        # when they exist (reference: base.py:16-18 add_param → VXA tags;
+        # e.g. growth.py:98-99 GrowthAmplitude, swimming_basic.py:137-138
+        # FluidEnvironment/AggregateDragCoefficient)
+        g = lambda name, default: getattr(self, name, default)
         return EnvParams(
             grav_acc=self.grav_acc,
             floor_slope=self.floor_slope,
             temp_base=self.temp_base,
             temp_amplitude=self.temp_amp - self.temp_base,
             temp_period=1.0 / self.frequency,
+            growth_amplitude=g("growth_amplitude", 0.0),
+            floor_radius=g("floor_radius", 0.0),
             aggregate_drag_coefficient=self.aggregate_drag_coefficient,
+            time_between_traces=g("time_between_traces", 0.0) or 0.01,
+            normalization_exponent=g("normalization_exponent", 1.0),
+            num_trace_steps_in_window=int(g("num_trace_steps_in_window", 0)),
+            norm_dist_by_vol=bool(g("norm_dist_by_vol", False)),
+            falling_prohibited=bool(g("falling_prohibited", False)),
+            needle_in_haystack=bool(g("needle_in_haystack", False)),
             gravity_enabled=bool(self.gravity_enabled),
             floor_enabled=bool(self.floor_enabled),
+            floor_limited=bool(g("floor_limited", False)),
             temp_enabled=bool(self.temp_enabled),
             vary_temp_enabled=True,
             sticky_floor=bool(self.sticky_floor),

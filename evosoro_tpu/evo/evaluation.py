@@ -40,9 +40,24 @@ _TAG_TO_FIELD = {
 _OBJECTIVE_TAG_TO_RESULT = {
     "<NormFinalDist>": "norm_final_dist",
     "<normAbsoluteDistance>": "norm_final_dist",
-    "<FinalDist>": "norm_final_dist",
+    "<normAbsoluteDisplacement>": "norm_final_dist",
+    "<FinalDist>": "final_dist",
     "<finalDistY>": "final_dist_y",
     "<normDistY>": "final_dist_y",
+    "<NormRegimeDist>": "norm_regime_dist",
+    "<NormFrozenDist>": "norm_frozen_dist",
+    "<AnteriorDist>": "anterior_dist",
+    "<PosteriorDist>": "posterior_dist",
+    "<AnteriorY>": "anterior_y",
+    "<PosteriorY>": "posterior_y",
+    "<EndOfLifePosteriorY>": "end_of_life_posterior_y",
+    "<FallAdjPostY>": "fall_adj_post_y",
+    "<NumTouchingFloor>": "num_touching_floor",
+    "<NumNonFeetTouchingFloor>": "num_non_feet_touching_floor",
+    "<Lifetime>": "lifetime",
+    "<FoundNeedleInHaystack>": "found_needle",
+    "<PushDist>": "push_dist",
+    "<WindowDist>": "norm_window_dist",
 }
 
 _compiled_cache: dict = {}

@@ -6,3 +6,9 @@ from evosoro_tpu.io.vxa import (  # noqa: F401
     read_fitness_xml,
     write_vxa,
 )
+from evosoro_tpu.io.mesh_io import (  # noqa: F401
+    export_deformed_mesh,
+    read_stl,
+    write_obj,
+    write_stl,
+)

@@ -1,0 +1,73 @@
+"""VXA interop against the reference's golden fixture files.
+
+The reference's de-facto test suite is its fixture VXA inputs
+(voxelyzeMain/Example_*.vxa and land_water sample_vxa/*.vxa, SURVEY.md §4.2);
+a correct loader must ingest them unmodified, build a body, and run a short
+stable rollout.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from evosoro_tpu.core.materials import calc_max_dt
+from evosoro_tpu.core.rollout import rollout
+from evosoro_tpu.io import load_vxa, write_vxa
+
+REF = "/root/reference/evosoro"
+EXAMPLES = sorted(glob.glob(os.path.join(REF, "_voxcad/voxelyzeMain/*.vxa")))
+SAMPLES = sorted(glob.glob(os.path.join(REF, "_voxcad_land_water/sample_vxa/*.vxa")))
+
+pytestmark = pytest.mark.skipif(
+    not EXAMPLES, reason="reference fixtures unavailable"
+)
+
+
+@pytest.mark.parametrize("path", EXAMPLES + SAMPLES,
+                         ids=lambda p: os.path.basename(p))
+def test_load_reference_fixture(path):
+    doc = load_vxa(path)
+    assert doc.structure.ndim == 3
+    assert doc.structure.max() >= 1, "no occupied voxels parsed"
+    assert doc.lattice_dim > 0
+    assert len(doc.materials) >= 1
+    body = doc.build_body()
+    assert int(np.asarray(body.occ).sum()) == int((doc.structure > 0).sum())
+
+
+@pytest.mark.parametrize(
+    "path",
+    [os.path.join(REF, "_voxcad/voxelyzeMain/Example_withPhaseOffset.vxa"),
+     os.path.join(REF, "_voxcad_land_water/sample_vxa/quadruped_land.vxa")],
+    ids=["Example_withPhaseOffset", "quadruped_land"],
+)
+def test_fixture_short_rollout_stable(path):
+    doc = load_vxa(path)
+    body = doc.build_body()
+    dt = float(calc_max_dt(body)) * float(doc.sim.dt_frac)
+    res = jax.jit(
+        lambda: rollout(body, doc.sim, doc.env, num_steps=50, dt=dt)
+    )()
+    assert not bool(res.diverged)
+    assert np.all(np.isfinite(np.asarray(res.final_cm)))
+
+
+def test_roundtrip_preserves_structure(tmp_path):
+    src = os.path.join(REF, "_voxcad/voxelyzeMain/Example_withPhaseOffset.vxa")
+    doc = load_vxa(src)
+    out = tmp_path / "roundtrip.vxa"
+    write_vxa(
+        str(out), doc.structure, materials=doc.materials,
+        lattice_dim=doc.lattice_dim, sim=doc.sim, env=doc.env,
+        voxel_arrays=doc.voxel_arrays,
+    )
+    doc2 = load_vxa(str(out))
+    assert np.array_equal(doc.structure, doc2.structure)
+    assert np.isclose(doc.lattice_dim, doc2.lattice_dim)
+    for tag, arr in doc.voxel_arrays.items():
+        assert tag in doc2.voxel_arrays
+        assert np.allclose(arr, doc2.voxel_arrays[tag], atol=1e-6)
