@@ -140,14 +140,17 @@ def build_body(
     u1 = jnp.broadcast_to(poisson, (3, X, Y, Z))
     u2 = jnp.stack([nbr(poisson, d) for d in range(3)])
     bond_u = jnp.where(u1 + u2 != 0, 2.0 * _safe_div(u1 * u2, u1 + u2), 0.0)
-    del bond_u  # used only by volume effects; recomputed there
 
     # beam geometry for cubic section (reference: VX_Bond.cpp:123-141):
     # A=L², Iy=Iz=L⁴/12, J=L⁴/6
     A = L * L
     I = L ** 4 / 12.0
     J = L ** 4 / 6.0
-    G_over_E = 1.0 / (2.0 * (1.0 + jnp.where(u1 + u2 != 0, 2.0 * _safe_div(u1 * u2, u1 + u2), 0.0)))
+    G_over_E = 1.0 / (2.0 * (1.0 + bond_u))
+    # effective modulus under volume effects Eh = E/((1-2u)(1+u))
+    # (reference: VX_Bond.cpp:96; UpdateBondStrain VXS_BondInternal.cpp:203)
+    eh_denom = (1.0 - 2.0 * bond_u) * (1.0 + bond_u)
+    bond_eh = jnp.where(eh_denom != 0, _safe_div(bond_e, eh_denom), bond_e)
     bond_a1 = bond_e * A / L
     bond_a2 = bond_e * G_over_E * J / L  # G*J/L with G = E/(2(1+u))
     bond_b1 = 12.0 * bond_e * I / L ** 3
@@ -169,6 +172,17 @@ def build_body(
 
     def opt(a, like=zeros):
         return jnp.asarray(a, dtype=dtype) if a is not None else like
+
+    # nonlinear material models: static fast-path flag (LINEAR and
+    # LINEAR_FAIL share the linear stress curve — VX_Object.cpp:1482-1495;
+    # bond breakage bookkeeping is handled at the fitness layer, not here)
+    from evosoro_tpu.core.types import MDL_BILINEAR
+
+    try:
+        mm = np.asarray(palette.mat_model)
+        all_linear = bool(np.all(mm != MDL_BILINEAR))
+    except Exception:  # palette is traced (e.g. built under jit) → general path
+        all_linear = False
 
     return VoxelBody(
         occ=occ,
@@ -221,6 +235,13 @@ def build_body(
         d_b2fm2=dcoef(bond_b2, fm2),
         d_b3i1=dcoef(bond_b3, i1),
         d_b3i2=dcoef(bond_b3, i2),
+        plastic_mod=g(palette.plastic_mod),
+        yield_stress=g(palette.yield_stress),
+        mat_temp_phase=g(palette.mat_temp_phase),
+        mat_model_vox=jnp.asarray(palette.mat_model)[structure],
+        bond_u=bond_u,
+        bond_eh=bond_eh,
+        all_linear=all_linear,
         using_phase_offset=phase_offset is not None,
         using_final_phase_offset=final_phase_offset is not None,
         using_temp_amp_damp=temp_amp_damp is not None,

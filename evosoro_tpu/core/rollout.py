@@ -26,12 +26,24 @@ from evosoro_tpu.core.types import EnvParams, SimParams, SimState, VoxelBody
 _BIG = 1e5  # reference sentinel for "min over voxels" scans (VX_Sim.cpp:2603)
 
 
-def init_state(body: VoxelBody, dtype=None) -> SimState:
-    """Initial rest state (reference: VXS_Voxel.cpp:95-134 ResetVoxel)."""
+def init_state(body: VoxelBody, dtype=None, volume_effects: bool = False) -> SimState:
+    """Initial rest state (reference: VXS_Voxel.cpp:95-134 ResetVoxel).
+
+    `volume_effects`: allocate the Poisson-coupling carry (TStrainSum/CSArea,
+    reference VXS_Voxel.cpp:543-632); keep it None otherwise so the scan
+    carries no dead state.
+    """
     X, Y, Z = body.occ.shape
     dtype = dtype or body.nom_pos.dtype
     nom = jnp.broadcast_to(body.nominal_size, (X, Y, Z)).astype(dtype)
+    ts_sum = cs_area = None
+    if volume_effects:
+        ts_sum = jnp.zeros((2, 3, X, Y, Z), dtype)
+        L2 = (body.nominal_size * body.nominal_size).astype(dtype)
+        cs_area = jnp.broadcast_to(L2, (2, 3, X, Y, Z))
     return SimState(
+        ts_sum=ts_sum,
+        cs_area=cs_area,
         pos=body.nom_pos.astype(dtype),
         quat=q.quat_identity((X, Y, Z), dtype=dtype),
         linmom=jnp.zeros((X, Y, Z, 3), dtype),
@@ -200,7 +212,7 @@ def rollout(
     if dt is None:
         dt = calc_max_dt(body) * sim.dt_frac
     if state is None:
-        state = init_state(body)
+        state = init_state(body, volume_effects=sim.volume_effects_enabled)
 
     n_knots = 0 if control_sequence is None else control_sequence.shape[0]
     want_trace = trace_every > 0 or env.norm_dist_by_vol

@@ -90,13 +90,103 @@ def _from_nbr(a, d):
     return jnp.roll(a, 1, axis=d)
 
 
+def _vox_mat_stress(strain, e_mod, mat_model, plastic_mod, yield_stress):
+    """Material-model stress at a strain (reference: VX_Object.cpp:1472-1535
+    GetModelStress). MDL_LINEAR / MDL_LINEAR_FAIL are the linear curve
+    (failure only sets bookkeeping flags); MDL_BILINEAR kinks at the yield
+    point. MDL_DATA's arbitrary point tables are not yet supported (none of
+    the reference experiments use them)."""
+    from evosoro_tpu.core.types import MDL_BILINEAR
+
+    linear = e_mod * strain
+    yield_strain = _safe_div(yield_stress, e_mod)
+    bilinear = jnp.where(
+        strain > yield_strain,
+        yield_stress + plastic_mod * (strain - yield_strain),
+        linear,
+    )
+    return jnp.where(mat_model == MDL_BILINEAR, bilinear, linear)
+
+
+def _volume_effects_coupling(bonds, body: VoxelBody):
+    """Voxel-pass Poisson coupling (reference: VXS_Voxel.cpp:543-632).
+
+    From the per-direction bond strains just computed, derive each voxel's
+    local strain vector (with pow(1+ε,−μ)−1 transverse contraction on
+    unconstrained axes), then write per-bond-side transverse strain sums and
+    cross-section areas for the next step's bond stress. Returns
+    (ts_sum, cs_area), each (2,3,X,Y,Z)."""
+    mu = body.poisson
+    L = body.nominal_size
+
+    sp, sn, pd, nd = [], [], [], []
+    for d in range(3):
+        sp.append(bonds[d]["sv1"])  # StrainPosDirsCur
+        sn.append(_from_nbr(bonds[d]["sv2"], d))  # StrainNegDirsCur
+        pd.append(body.bond_mask[d])
+        nd.append(_from_nbr(body.bond_mask[d], d))
+
+    from evosoro_tpu.core.types import DOF_X, DOF_Y, DOF_Z
+
+    T, axis_strain = [], []
+    for a, bit in enumerate((DOF_X, DOF_Y, DOF_Z)):
+        fixed = (body.dof_fixed & bit) != 0
+        forced = body.external_force[..., a] != 0
+        T.append((pd[a] & nd[a]) | ((pd[a] | nd[a]) & (fixed | forced)))
+        s = jnp.where(
+            pd[a] & nd[a],
+            0.5 * (sp[a] + sn[a]),
+            jnp.where(pd[a], sp[a], jnp.where(nd[a], sn[a], 0.0)),
+        )
+        axis_strain.append(jnp.where(T[a], s, 0.0))
+
+    def pw(s):  # transverse contraction; guard 1+ε>0 so pow stays finite
+        return jnp.power(jnp.maximum(1.0 + s, 1e-6), -mu) - 1.0
+
+    tx, ty, tz = T
+    c0x, c0y, c0z = axis_strain
+    # exclusive (Tx,Ty,Tz) case table (reference: :586-594)
+    cx = jnp.where(
+        ~tx & ty & tz, pw(c0y + c0z),
+        jnp.where(~tx & ~ty & tz, pw(c0z), jnp.where(~tx & ty & ~tz, pw(c0y), c0x)),
+    )
+    cy = jnp.where(
+        tx & ~ty & tz, pw(c0x + c0z),
+        jnp.where(~tx & ~ty & tz, pw(c0z), jnp.where(tx & ~ty & ~tz, pw(c0x), c0y)),
+    )
+    cz = jnp.where(
+        tx & ty & ~tz, pw(c0x + c0y),
+        jnp.where(~tx & ty & ~tz, pw(c0y), jnp.where(tx & ~ty & ~tz, pw(c0x), c0z)),
+    )
+
+    L2 = L * L
+    # per bond axis: transverse sum / area from the two *other* axes
+    # (reference: :601-620; AXIS_Z uses y+x)
+    ts_ax = [cy + cz, cx + cz, cy + cx]
+    cs_ax = [
+        (1.0 + cy) * (1.0 + cz) * L2,
+        (1.0 + cx) * (1.0 + cz) * L2,
+        (1.0 + cy) * (1.0 + cx) * L2,
+    ]
+    ts1, ts2, cs1, cs2 = [], [], [], []
+    for d in range(3):
+        m = body.bond_mask[d]
+        ts1.append(jnp.where(m, ts_ax[d], 0.0))
+        ts2.append(jnp.where(m, _nbr(ts_ax[d], d), 0.0))
+        cs1.append(jnp.where(m, cs_ax[d], L2))
+        cs2.append(jnp.where(m, _nbr(cs_ax[d], d), L2))
+    ts_sum = jnp.stack([jnp.stack(ts1), jnp.stack(ts2)])
+    cs_area = jnp.stack([jnp.stack(cs1), jnp.stack(cs2)])
+    return ts_sum, cs_area
+
+
 # ---------------------------------------------------------------------------
 # Bond forces (reference: VXS_BondInternal.cpp:56-187 CalcLinForce
 #              + 189-307 UpdateBondStrain + 310-346 AddDampForces)
 # ---------------------------------------------------------------------------
 
 def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
-                      dt, prec: Precision):
+                      env: EnvParams, dt, prec: Precision):
     mask = body.bond_mask[d]
     maskf = mask[..., None]
     L = body.nominal_size
@@ -156,15 +246,53 @@ def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
     # --- axial strain & two-material stress (reference: :189-307) ---
     strain = _safe_div(_pos2[..., 0], L)
     E1, E2, E = body.bond_e1[d], body.bond_e2[d], body.bond_e[d]
-    s_sum = E1 + E2
-    # reference iterates strains until per-side stresses agree within 0.05%;
-    # for linear materials the fixed point is exact after one iteration, and
-    # the entry tolerance |S1-S2| <= 5e-4·|S1+S2| reduces to a modulus test:
-    near_equal = jnp.abs(E1 - E2) <= 0.0005 * jnp.abs(s_sum)
-    hom = body.bond_homogeneous[d] | near_equal
-    stress = jnp.where(hom, 0.5 * s_sum * strain, E * strain)
-    sv1 = jnp.where(hom, strain, 2.0 * _safe_div(E2, s_sum) * strain)
-    sv2 = jnp.where(hom, strain, 2.0 * _safe_div(E1, s_sum) * strain)
+    if sim.volume_effects_enabled:
+        # Poisson-coupled stress σ = Eh(1−u)ε + Eh·u·(TS1+TS2)/2 using the
+        # transverse strain sums the voxel pass wrote last step (reference:
+        # VXS_BondInternal.cpp:200-222). The reference leaves the per-side
+        # strains at their initial 0 for heterogeneous bonds in this mode
+        # (CurStrainV1/V2 untouched, VXS_Bond.cpp:66-67) — replicated.
+        u = body.bond_u[d]
+        eh = body.bond_eh[d]
+        ts_avg = 0.5 * (state.ts_sum[0, d] + state.ts_sum[1, d])
+        stress = eh * (1.0 - u) * strain + eh * u * ts_avg
+        hom = body.bond_homogeneous[d]
+        sv1 = jnp.where(hom, strain, 0.0)
+        sv2 = sv1
+    elif body.all_linear:
+        s_sum = E1 + E2
+        # reference iterates strains until per-side stresses agree within
+        # 0.05%; for linear materials the fixed point is exact after one
+        # iteration, and the entry tolerance |S1-S2| <= 5e-4·|S1+S2| reduces
+        # to a modulus test:
+        near_equal = jnp.abs(E1 - E2) <= 0.0005 * jnp.abs(s_sum)
+        hom = body.bond_homogeneous[d] | near_equal
+        stress = jnp.where(hom, 0.5 * s_sum * strain, E * strain)
+        sv1 = jnp.where(hom, strain, 2.0 * _safe_div(E2, s_sum) * strain)
+        sv2 = jnp.where(hom, strain, 2.0 * _safe_div(E1, s_sum) * strain)
+    else:
+        # nonlinear materials: per-side stress from the material model with
+        # the reference's 3-iteration stress-equalization loop (reference:
+        # VXS_BondInternal.cpp:237-253; model: VX_Object.cpp:1472-1535)
+        side1 = (body.e_mod, body.mat_model_vox, body.plastic_mod,
+                 body.yield_stress)
+        side2 = tuple(_nbr(a, d) for a in side1)
+        sv1 = strain
+        sv2 = strain
+        s1 = _vox_mat_stress(sv1, *side1)
+        s2 = _vox_mat_stress(sv2, *side2)
+        for _ in range(3):
+            ssum = s1 + s2
+            converged = jnp.abs(s1 - s2) <= 0.0005 * jnp.abs(ssum)
+            sv1 = jnp.where(converged, sv1, 2.0 * _safe_div(s2, ssum) * sv1)
+            sv2 = jnp.where(converged, sv2, 2.0 * _safe_div(s1, ssum) * sv2)
+            s1 = _vox_mat_stress(sv1, *side1)
+            s2 = _vox_mat_stress(sv2, *side2)
+        hom = body.bond_homogeneous[d]
+        stress_hom = _vox_mat_stress(strain, *side1)
+        stress = jnp.where(hom, stress_hom, 0.5 * (s1 + s2))
+        sv1 = jnp.where(hom, strain, sv1)
+        sv2 = jnp.where(hom, strain, sv2)
 
     if sim.plasticity_enabled:
         new_territory = strain >= state.max_strain[d]
@@ -179,9 +307,30 @@ def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
         max_strain = jnp.maximum(state.max_strain[d], strain)
         strain_offset = state.strain_offset[d]
 
+    # volume-effects thermal stress subtraction (reference: :284-298):
+    # σ -= (E1·CTE1·ΔT1/(1−2u1) + E2·CTE2·ΔT2/(1−2u2))/2 with each side's
+    # ΔT from its material temperature sinusoid (VX_Environment.cpp:442-461)
+    if sim.volume_effects_enabled and env.temp_enabled:
+        if env.vary_temp_enabled:
+            w = 2.0 * jnp.pi * state.time / env.temp_period
+            dT1 = env.temp_amplitude * jnp.sin(w + body.mat_temp_phase)
+            dT2 = env.temp_amplitude * jnp.sin(w + _nbr(body.mat_temp_phase, d))
+        else:
+            dT1 = dT2 = env.temp_amplitude
+        s1t = _safe_div(body.e_mod * body.cte * dT1, 1.0 - 2.0 * body.poisson)
+        s2t = _safe_div(
+            _nbr(body.e_mod, d) * _nbr(body.cte, d) * dT2,
+            1.0 - 2.0 * _nbr(body.poisson, d),
+        )
+        stress = stress - 0.5 * (s1t + s2t)
+
     # --- beam forces/moments, bond frame (reference: :122-154) ---
     a2c, b1, b2, b3 = body.bond_a2[d], body.bond_b1[d], body.bond_b2[d], body.bond_b3[d]
-    cs_area = L * L  # CSArea1 = CSArea2 = NominalSize² w/o volume effects
+    if sim.volume_effects_enabled:
+        # F_axial = σ·(CSArea1+CSArea2)/2 (reference: :127)
+        cs_area = 0.5 * (state.cs_area[0, d] + state.cs_area[1, d])
+    else:
+        cs_area = L * L  # CSArea1 = CSArea2 = NominalSize² w/o volume effects
     p2y, p2z = _pos2[..., 1], _pos2[..., 2]
     a1x, a1y, a1z = _a1[..., 0], _a1[..., 1], _a1[..., 2]
     a2x, a2y, a2z = _a2[..., 0], _a2[..., 1], _a2[..., 2]
@@ -456,8 +605,20 @@ def sim_step(
     occ = body.occ
     occf = occ[..., None]
 
+    if sim.volume_effects_enabled and state.ts_sum is None:
+        raise ValueError(
+            "volume effects enabled but the state has no coupling carry; "
+            "create it with init_state(body, volume_effects=True)"
+        )
+
     # ---- bond pass (3 lattice directions) ----
-    bonds = [_bond_axis_forces(d, state, body, sim, dt, prec) for d in range(3)]
+    bonds = [_bond_axis_forces(d, state, body, sim, env, dt, prec) for d in range(3)]
+
+    # volume-effects voxel pass: write next step's TStrainSum/CSArea
+    # (reference: VXS_Voxel.cpp:543-632)
+    new_ts_sum = new_cs_area = None
+    if sim.volume_effects_enabled:
+        new_ts_sum, new_cs_area = _volume_effects_coupling(bonds, body)
 
     diverged_now = state.diverged
     for d in range(3):
@@ -602,6 +763,8 @@ def sim_step(
         time=t + dt,
         diverged=diverged_now,
         ke_history=ke_history,
+        ts_sum=new_ts_sum,
+        cs_area=new_cs_area,
     )
 
     # freeze state once diverged (reference aborts: VX_Sim.cpp:1774-1777)

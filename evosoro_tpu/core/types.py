@@ -234,6 +234,21 @@ class VoxelBody:
     # optional self-collision tables (core.collision.CollisionSystem)
     collision: Any = None
 
+    # nonlinear material model per voxel (reference: VX_Object.cpp:1472-1535
+    # GetModelStress; gathered from the palette at build time)
+    plastic_mod: Any = None  # (X,Y,Z) bilinear post-yield modulus
+    yield_stress: Any = None  # (X,Y,Z)
+    mat_temp_phase: Any = None  # (X,Y,Z) per-material temperature phase [rad]
+    mat_model_vox: Any = None  # (X,Y,Z) int32 MDL_* id
+
+    # volume-effects bond constants (reference: VX_Bond.cpp:90-97;
+    # Eh = E/((1-2u)(1+u)) with composite E, u)
+    bond_u: Any = None  # (3,X,Y,Z) composite Poisson 2*u1*u2/(u1+u2)
+    bond_eh: Any = None  # (3,X,Y,Z) effective modulus Eh
+
+    # static: True when every palette entry is (fail-)linear → fast stress path
+    all_linear: bool = struct.field(pytree_node=False, default=True)
+
     # devo usage flags (static: gate code paths)
     using_phase_offset: bool = struct.field(pytree_node=False, default=True)
     using_final_phase_offset: bool = struct.field(pytree_node=False, default=False)
@@ -283,3 +298,11 @@ class SimState:
     # KE history for equilibrium mode / stop conditions (6 deep,
     # reference: VX_Sim.h KinEHistory)
     ke_history: Any  # (6,)
+
+    # volume-effects Poisson coupling, written by the voxel pass at step t
+    # and read by the bond stress at step t+1 (reference: VXS_Voxel.cpp:543-632
+    # writes TStrainSum1/2, CSArea1/2 into the bonds). Index 0 = bond side 1
+    # (owner voxel), index 1 = side 2 (+d neighbor). None when the volume-
+    # effects feature is off (the scan then carries no extra state).
+    ts_sum: Any = None  # (2,3,X,Y,Z) transverse strain sums
+    cs_area: Any = None  # (2,3,X,Y,Z) current cross-section areas

@@ -529,10 +529,13 @@ def write_vxa(
     save_traces: bool = False,
     time_between_traces: float = 0.0,
     extra_env_tags: str = "",
+    lattice_dim: Optional[float] = None,
 ):
     """Write a .vxa the reference `voxelyze` binary accepts unmodified."""
     sim = sim or SimParams()
     env = env or EnvParams()
+    if lattice_dim is not None:
+        env = env.replace(lattice_dim=float(lattice_dim))
     voxel_arrays = voxel_arrays or {}
     structure = np.asarray(structure)
     X, Y, Z = structure.shape
