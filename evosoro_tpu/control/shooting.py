@@ -84,7 +84,7 @@ def cem_optimize(
     X, Y, Z = body.occ.shape
     shape = (num_knots, X, Y, Z)
     if state0 is None:
-        state0 = init_state(body)
+        state0 = init_state(body, volume_effects=sim.volume_effects_enabled)
     dtype = body.nom_pos.dtype
     mean0 = jnp.zeros(shape, dtype) if init_mean is None else jnp.asarray(init_mean, dtype)
     n_elite = max(1, int(config.pop_size * config.elite_frac))
@@ -156,7 +156,7 @@ def grad_optimize(
 
     X, Y, Z = body.occ.shape
     if state0 is None:
-        state0 = init_state(body)
+        state0 = init_state(body, volume_effects=sim.volume_effects_enabled)
     dtype = body.nom_pos.dtype
     u0 = (jnp.zeros((num_knots, X, Y, Z), dtype) if init_u is None
           else jnp.asarray(init_u, dtype))
@@ -228,7 +228,7 @@ def mpc_run(
                       state=state, control_sequence=u_exec)
         return res.final_state
 
-    state = init_state(body)
+    state = init_state(body, volume_effects=sim.volume_effects_enabled)
     warm = None
     executed = []
     costs = []

@@ -147,10 +147,20 @@ def build_body(
     I = L ** 4 / 12.0
     J = L ** 4 / 6.0
     G_over_E = 1.0 / (2.0 * (1.0 + bond_u))
-    # effective modulus under volume effects Eh = E/((1-2u)(1+u))
-    # (reference: VX_Bond.cpp:96; UpdateBondStrain VXS_BondInternal.cpp:203)
-    eh_denom = (1.0 - 2.0 * bond_u) * (1.0 + bond_u)
-    bond_eh = jnp.where(eh_denom != 0, _safe_div(bond_e, eh_denom), bond_e)
+    # effective modulus under volume effects: per-side Eᵢh = Eᵢ/((1-2uᵢ)(1+uᵢ))
+    # then harmonic composite Eh = 2·E1h·E2h/(E1h+E2h) — the reference's live
+    # code path (VX_Bond.cpp UpdateConstants), NOT the commented-out
+    # composite-E/composite-u formula, which diverges ~36% when the two sides'
+    # Poisson ratios differ.
+    def _side_eh(e, u):
+        denom = (1.0 - 2.0 * u) * (1.0 + u)
+        return jnp.where(denom != 0, _safe_div(e, denom), e)
+
+    e1h = _side_eh(bond_e1, u1)
+    e2h = _side_eh(bond_e2, u2)
+    bond_eh = jnp.where(
+        e1h + e2h != 0, 2.0 * _safe_div(e1h * e2h, e1h + e2h), 0.0
+    )
     bond_a1 = bond_e * A / L
     bond_a2 = bond_e * G_over_E * J / L  # G*J/L with G = E/(2(1+u))
     bond_b1 = 12.0 * bond_e * I / L ** 3

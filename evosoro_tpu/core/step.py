@@ -312,9 +312,20 @@ def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
     # ΔT from its material temperature sinusoid (VX_Environment.cpp:442-461)
     if sim.volume_effects_enabled and env.temp_enabled:
         if env.vary_temp_enabled:
-            w = 2.0 * jnp.pi * state.time / env.temp_period
-            dT1 = env.temp_amplitude * jnp.sin(w + body.mat_temp_phase)
-            dT2 = env.temp_amplitude * jnp.sin(w + _nbr(body.mat_temp_phase, d))
+            # temp_period == 0 means "no varying temp" (reference:
+            # VX_Environment.cpp UpdateCurTemp early-returns) → zero ΔT
+            period_ok = env.temp_period != 0
+            w = 2.0 * jnp.pi * state.time * _safe_div(
+                jnp.ones_like(state.time), env.temp_period
+            )
+            dT1 = jnp.where(
+                period_ok, env.temp_amplitude * jnp.sin(w + body.mat_temp_phase), 0.0
+            )
+            dT2 = jnp.where(
+                period_ok,
+                env.temp_amplitude * jnp.sin(w + _nbr(body.mat_temp_phase, d)),
+                0.0,
+            )
         else:
             dT1 = dT2 = env.temp_amplitude
         s1t = _safe_div(body.e_mod * body.cte * dT1, 1.0 - 2.0 * body.poisson)
@@ -558,13 +569,18 @@ def _scale_update(state, body, sim: SimParams, env: EnvParams, t):
     if env.temp_enabled:
         phase = body.phase_offset + dev_phase
         amp_damp = body.temp_amp_damp + dev_ampdamp
+        # temp_period == 0 → no oscillation (reference guards this case in
+        # VX_Environment.cpp UpdateCurTemp)
+        inv_period = _safe_div(jnp.ones_like(t), env.temp_period)
         ctrl = (
             amp_damp
             * env.temp_amplitude
-            * jnp.sin(2.0 * jnp.pi * (t / env.temp_period + phase))
+            * jnp.sin(2.0 * jnp.pi * (t * inv_period + phase))
             * body.cte
         )
-        ctrl = jnp.where(t >= sim.init_cm_time, ctrl, 0.0)
+        ctrl = jnp.where(
+            (t >= sim.init_cm_time) & (env.temp_period != 0), ctrl, 0.0
+        )
     else:
         ctrl = jnp.zeros_like(nom)
 

@@ -96,3 +96,27 @@ def test_volume_effects_vs_off_trajectories_differ():
         np.asarray(r_on.final_state.pos), np.asarray(r_off.final_state.pos),
         atol=1e-9,
     )
+
+
+def test_bond_eh_per_side_harmonic():
+    """Eh must be the harmonic mean of per-side Eᵢ/((1-2uᵢ)(1+uᵢ)) — the
+    reference's live VX_Bond.cpp code — not Eh(E_comp, u_comp) (ADVICE r1)."""
+    from evosoro_tpu.core.materials import build_body, palette_from_list
+    from evosoro_tpu.core.types import Material
+
+    E1, u1 = 1e6, 0.4
+    E2, u2 = 5e6, 0.1
+    pal = palette_from_list([
+        Material(1, elastic_mod=E1, poissons_ratio=u1),
+        Material(2, elastic_mod=E2, poissons_ratio=u2),
+    ])
+    structure = np.zeros((2, 1, 1), dtype=np.int32)
+    structure[0, 0, 0] = 1
+    structure[1, 0, 0] = 2
+    body = build_body(structure, pal)
+
+    e1h = E1 / ((1 - 2 * u1) * (1 + u1))
+    e2h = E2 / ((1 - 2 * u2) * (1 + u2))
+    want = 2 * e1h * e2h / (e1h + e2h)
+    got = float(body.bond_eh[0, 0, 0, 0])
+    assert got == pytest.approx(want, rel=1e-5)
