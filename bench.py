@@ -79,15 +79,22 @@ def main():
     voxel_steps = BATCH * n_occupied * STEPS
     vs_per_sec = voxel_steps / elapsed
 
-    # --- baseline: measured reference C++ throughput if available ---
-    ref_path = "/tmp/evosoro_ref_bench.json"
+    # --- baseline: measured reference C++ throughput ---
+    # freshly measured record first (tools/reference_engine.py writes it),
+    # then the committed measurement of this exact 10^3 workload on the
+    # bench host (383,704 voxel-steps/s single-core), then a literature
+    # estimate as last resort.
     baseline = 1.0e6  # voxel-steps/s, single-core Voxelyze estimate
-    if os.path.exists(ref_path):
-        try:
-            with open(ref_path) as f:
-                baseline = float(json.load(f)["voxel_steps_per_sec"])
-        except Exception:
-            pass
+    here = os.path.dirname(os.path.abspath(__file__))
+    for ref_path in ("/tmp/evosoro_ref_bench.json",
+                     os.path.join(here, "tools", "ref_bench_record.json")):
+        if os.path.exists(ref_path):
+            try:
+                with open(ref_path) as f:
+                    baseline = float(json.load(f)["voxel_steps_per_sec"])
+                break
+            except Exception:
+                pass
 
     print(
         json.dumps(

@@ -67,3 +67,15 @@ DEFAULT_PRECISION = PREC_MED
 # Divergence guard: engineering strain beyond this aborts a rollout
 # (reference: VX_Sim.cpp:1775 "GetEngStrain() > 100").
 DIVERGENCE_STRAIN = 100.0
+
+# The reference engine does not use machine π in its hot path — it embeds
+# truncated literals, and trajectory parity requires replicating them:
+# - `2*(vfloat)3.1415926` in CalcMaxDt (VX_Sim.cpp:1725) and the global
+#   temperature sinusoid (VX_Environment.cpp:449): the double 3.1415926.
+# - `2*3.1415926f` in the actuation control sinusoid (VXS_Voxel.cpp:302)
+#   and per-material temperature (VX_Environment.cpp:451): the float
+#   literal, which rounds UP to 3.14159274101257324.
+# Using jnp.pi instead shifts dt by 1.7e-8 relative and dephases the
+# actuation drive, which measurably diverges long rollouts.
+REF_PI_DOUBLE = 3.1415926
+REF_PI_FLOAT = 3.1415927410125732421875  # = (double)(float)3.1415926f

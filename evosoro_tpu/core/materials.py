@@ -183,6 +183,14 @@ def build_body(
     def opt(a, like=zeros):
         return jnp.asarray(a, dtype=dtype) if a is not None else like
 
+    def opt_f32(a, like=zeros):
+        """Devo/actuation per-voxel fields round through float32: the
+        reference stores them as `float` members (VXS_Voxel.h:91-110), so
+        double-precision parity requires the same quantization."""
+        if a is None:
+            return like
+        return jnp.asarray(a).astype(jnp.float32).astype(dtype)
+
     # nonlinear material models: static fast-path flag (LINEAR and
     # LINEAR_FAIL share the linear stress curve — VX_Object.cpp:1482-1495;
     # bond breakage bookkeeping is handled at the fitness layer, not here)
@@ -212,14 +220,16 @@ def build_body(
         lin_stiffness=lin_stiffness,
         two_sq_mexs=two_sq_mexs,
         two_sq_iexsss=two_sq_iexsss,
-        phase_offset=opt(phase_offset),
-        final_phase_offset=opt(final_phase_offset),
-        temp_amp_damp=opt(temp_amp_damp, jnp.ones((X, Y, Z), dtype=dtype)),
-        final_temp_amp_damp=opt(final_temp_amp_damp, jnp.ones((X, Y, Z), dtype=dtype)),
-        initial_voxel_size=opt(initial_voxel_size),
-        final_voxel_size=opt(final_voxel_size),
-        growth_time=opt(growth_time),
-        start_growth_time=opt(start_growth_time),
+        phase_offset=opt_f32(phase_offset),
+        final_phase_offset=opt_f32(final_phase_offset),
+        temp_amp_damp=opt_f32(temp_amp_damp, jnp.ones((X, Y, Z), dtype=dtype)),
+        final_temp_amp_damp=opt_f32(
+            final_temp_amp_damp, jnp.ones((X, Y, Z), dtype=dtype)
+        ),
+        initial_voxel_size=opt_f32(initial_voxel_size),
+        final_voxel_size=opt_f32(final_voxel_size),
+        growth_time=opt_f32(growth_time),
+        start_growth_time=opt_f32(start_growth_time),
         dof_fixed=(jnp.asarray(dof_fixed, dtype=jnp.int32)
                    if dof_fixed is not None else jnp.zeros((X, Y, Z), jnp.int32)),
         external_force=opt(external_force, jnp.zeros((X, Y, Z, 3), dtype=dtype)),
@@ -263,6 +273,98 @@ def build_body(
     )
 
 
+def devo_params_from_vxa(
+    raw: dict,
+    sim,
+    env,
+    nominal_size,
+    structure,
+) -> dict:
+    """Apply the reference's import-time devo transforms
+    (reference: VX_Sim.cpp:878-965 ResetSimulation).
+
+    The VXA's per-voxel devo arrays hold *normalized genome outputs*
+    (sigmoids in [-1,1]/[0,1]); the engine maps them to physical sizes and
+    absolute times at import:
+
+    - InitialVoxelSize/FinalVoxelSize: size = max(1 + growth_amplitude·raw,
+      min_temp_fact) · nominal_size; absent initial → nominal; absent final
+      → initial (no growth).
+    - StartGrowthTime: raw·(onset_bound − init_cm_time) + init_cm_time,
+      capped at onset_bound − min_growth_time; absent → init_cm_time when
+      any size/growth output is evolved else "never" (stop − freeze).
+    - GrowthTime: raw·(termination_bound − start − freeze), floored at
+      min_growth_time; absent → full window when a final size is evolved.
+
+    onset/termination bounds are the parent's lifetime when the env marks
+    them relative (reference: VX_Sim.cpp:888-889), else the stop condition.
+
+    `raw` keys (lowercase): initialvoxelsize, finalvoxelsize, growthtime,
+    startgrowthtime — values (X,Y,Z) arrays or None. Returns kwargs for
+    `build_body` (actual sizes [m] / times [s]), omitting absent outputs.
+    """
+    import numpy as np
+
+    raw_init = raw.get("initialvoxelsize")
+    raw_final = raw.get("finalvoxelsize")
+    raw_growth = raw.get("growthtime")
+    raw_start = raw.get("startgrowthtime")
+    if all(a is None for a in (raw_init, raw_final, raw_growth, raw_start)):
+        return {}
+
+    stop = float(sim.stop_condition_value)
+    init_cm = float(sim.init_cm_time)
+    freeze = float(sim.mid_life_freeze_time)
+    parent = float(getattr(sim, "parent_lifetime", 0.0)) or stop
+    # the bounds are float32 voxel members in the reference
+    # (VXS_Voxel.h:102-103 onsetBound/terminationBound) — quantize to match
+    onset_bound = float(np.float32(parent if env.onset_relative else stop))
+    term_bound = float(np.float32(parent if env.termination_relative else stop))
+    gamp = float(env.growth_amplitude)
+    min_tf = float(sim.min_temp_fact)
+    min_gt = float(env.min_growth_time)
+    L = float(nominal_size)
+    shape = np.asarray(structure).shape
+
+    if raw_init is not None:
+        init_size = np.maximum(1.0 + gamp * np.asarray(raw_init), min_tf) * L
+    else:
+        init_size = np.full(shape, L)
+    if raw_final is not None:
+        final_size = np.maximum(1.0 + gamp * np.asarray(raw_final), min_tf) * L
+    else:
+        final_size = init_size
+
+    if raw_start is not None:
+        start = np.asarray(raw_start) * (onset_bound - init_cm) + init_cm
+        start = np.minimum(start, onset_bound - min_gt)
+    elif raw_final is not None or raw_growth is not None:
+        start = np.full(shape, init_cm)
+    else:
+        start = np.full(shape, stop - freeze)
+    # startGrowthTime is stored float32 before growthTime reads it back
+    # (reference: VXS_Voxel.h:97, VX_Sim.cpp:958-974)
+    start = np.float64(np.float32(start))
+
+    if raw_growth is not None:
+        growth = np.asarray(raw_growth) * (term_bound - start - freeze)
+        growth = np.maximum(growth, min_gt)
+    elif raw_final is not None:
+        growth = term_bound - start - freeze
+    else:
+        growth = np.full(shape, min_gt)
+
+    out = {
+        "start_growth_time": start,
+        "growth_time": growth,
+    }
+    if raw_init is not None:
+        out["initial_voxel_size"] = init_size
+    if raw_final is not None or raw_init is not None:
+        out["final_voxel_size"] = final_size
+    return out
+
+
 def calc_max_dt(body: VoxelBody) -> jnp.ndarray:
     """Stability timestep 1/(2π·max√(k/m)) over all bonds
     (reference: VX_Sim.cpp:1693-1727; k = a1 linear stiffness)."""
@@ -272,4 +374,10 @@ def calc_max_dt(body: VoxelBody) -> jnp.ndarray:
     f2_2 = jnp.where(body.bond_mask, _safe_div(body.bond_a1, m2), 0.0)
     max_freq2 = jnp.maximum(jnp.max(f2_1), jnp.max(f2_2))
     max_freq = jnp.sqrt(max_freq2)
-    return jnp.where(max_freq > 0, 1.0 / (2.0 * jnp.pi * max_freq), 0.0)
+    # truncated π replicates the reference's dt bit-for-bit
+    # (VX_Sim.cpp:1725 uses the literal 3.1415926)
+    from evosoro_tpu.core.constants import REF_PI_DOUBLE
+
+    return jnp.where(
+        max_freq > 0, 1.0 / (2.0 * REF_PI_DOUBLE * max_freq), 0.0
+    )

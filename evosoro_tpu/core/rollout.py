@@ -26,13 +26,20 @@ from evosoro_tpu.core.types import EnvParams, SimParams, SimState, VoxelBody
 _BIG = 1e5  # reference sentinel for "min over voxels" scans (VX_Sim.cpp:2603)
 
 
-def init_state(body: VoxelBody, dtype=None, volume_effects: bool = False) -> SimState:
+def init_state(body: VoxelBody, dtype=None, volume_effects: bool = False,
+               ballistic_devo: bool = False) -> SimState:
     """Initial rest state (reference: VXS_Voxel.cpp:95-134 ResetVoxel).
 
     `volume_effects`: allocate the Poisson-coupling carry (TStrainSum/CSArea,
     reference VXS_Voxel.cpp:543-632); keep it None otherwise so the scan
     carries no dead state.
+
+    `ballistic_devo`: allocate the dynamic DevoState so velocity-adjusted
+    development can rebase the per-voxel devo fields each step
+    (reference: VXS_Voxel.cpp:342-381; see types.DevoState).
     """
+    from evosoro_tpu.core.types import DevoState
+
     X, Y, Z = body.occ.shape
     dtype = dtype or body.nom_pos.dtype
     nom = jnp.broadcast_to(body.nominal_size, (X, Y, Z)).astype(dtype)
@@ -41,9 +48,25 @@ def init_state(body: VoxelBody, dtype=None, volume_effects: bool = False) -> Sim
         ts_sum = jnp.zeros((2, 3, X, Y, Z), dtype)
         L2 = (body.nominal_size * body.nominal_size).astype(dtype)
         cs_area = jnp.broadcast_to(L2, (2, 3, X, Y, Z))
+    devo = None
+    if ballistic_devo:
+        bc = lambda a: jnp.broadcast_to(a, (X, Y, Z)).astype(dtype)  # noqa: E731
+        devo = DevoState(
+            initial_voxel_size=bc(body.initial_voxel_size),
+            final_voxel_size=bc(body.final_voxel_size),
+            original_final_voxel_size=bc(body.final_voxel_size),
+            growth_time=bc(body.growth_time),
+            start_growth_time=bc(body.start_growth_time),
+            win_prev=jnp.zeros((), dtype),
+            win_last=jnp.zeros((), dtype),
+            win_count=jnp.zeros((), jnp.int32),
+        )
     return SimState(
         ts_sum=ts_sum,
         cs_area=cs_area,
+        devo=devo,
+        total_strain_e=jnp.zeros((), dtype),
+        max_vox_vel=jnp.zeros((), dtype),
         pos=body.nom_pos.astype(dtype),
         quat=q.quat_identity((X, Y, Z), dtype=dtype),
         linmom=jnp.zeros((X, Y, Z, 3), dtype),
@@ -71,14 +94,14 @@ def center_of_mass(state: SimState, body: VoxelBody):
 
 
 def total_volume(state: SimState, body: VoxelBody):
-    """Σ scale³ over occupied voxels — the in-scan robot-volume trace.
-
-    The reference's getTotalVolume() integrates the deformed surface mesh
-    (VX_MeshUtil.cpp:902-948); the per-voxel cube volume agrees up to shear
-    deformation of the mesh and is differentiable inside the scan. The exact
-    mesh version is available host-side (core/shape.py robot_volume).
-    """
-    return jnp.sum(jnp.where(body.occ, state.scale**3, 0.0))
+    """Σ (scale/L)³ over occupied voxels — the DIMENSIONLESS robot volume
+    (units of voxel counts), exactly the reference's getTotalVolume()
+    (VX_Sim.cpp:2573-2580: pow(GetCurScale()/GetLatticeDim(), 3)). This is
+    what the NormDistByVol fitness family and the ballistic-devo speed
+    windows normalize by. (The deformed-mesh volume used by shape
+    descriptors is host-side: core/shape.py robot_volume.)"""
+    s = state.scale / body.nominal_size
+    return jnp.sum(jnp.where(body.occ, s * s * s, 0.0))
 
 
 def floor_penetration(state: SimState, body: VoxelBody):
@@ -129,6 +152,10 @@ class RolloutResult:
     cm_trace: Any  # (T_trace, 3) CoM snapshots (SS.CMTrace analog)
     vol_trace: Any  # (T_trace,) robot volume snapshots (SS.VolTrace)
     trace_times: Any
+    # environmental source tracking (reference: VX_Sim.cpp:2527-2558 +
+    # VX_Source min-distance history) — None when env.sources is None
+    source_min_dist: Any = None  # (S,) final min distance / lattice_dim
+    source_avg_min_dist: Any = None  # (S,) mean of 50-step history samples
 
 
 class _Carry(NamedTuple):
@@ -140,6 +167,22 @@ class _Carry(NamedTuple):
     fell_over: jnp.ndarray
     ini_needle: jnp.ndarray
     needle_initialized: jnp.ndarray
+    # windowed-speed-trace bookkeeping for ballistic development
+    # (reference: VX_Sim.cpp:1600-1606 WindowTrace; None unless active)
+    buf_y: Any = None  # (N,) last N trace samples of CoM y
+    buf_v: Any = None  # (N,) last N trace samples of robot volume
+    n_traces: Any = None
+    last_trace_t: Any = None
+    last_win_t: Any = None
+    # environmental-source tracking (None unless env.sources set)
+    src_min: Any = None  # (S,) current min distance (lattice units)
+    src_sum: Any = None  # (S,) history accumulator
+    src_count: Any = None  # scalar int
+    # downsampled history rings for quiescence stop conditions
+    # (reference: VX_Sim.cpp:1685-1687; None unless such a condition set)
+    ring_ke: Any = None  # (10,)
+    ring_tote: Any = None  # (10,)
+    ring_move: Any = None  # (10,)
 
 
 def num_steps_for(body: VoxelBody, sim: SimParams, dt=None) -> int:
@@ -166,8 +209,12 @@ def _needle_pos(state: SimState, body: VoxelBody):
 
 
 def _posterior_y(state: SimState, body: VoxelBody):
+    """Min voxel y over non-obstacle voxels, in lattice units (reference:
+    VX_Sim.cpp getPosteriorY divides by GetLatticeDim)."""
     valid = body.occ & (body.mat != 5)
-    return jnp.min(jnp.where(valid, state.pos[..., 1], _BIG))
+    return jnp.min(
+        jnp.where(valid, state.pos[..., 1] / body.nominal_size, _BIG)
+    )
 
 
 def _norm_dist_by_vol(cm_y, vols, mask, L, exponent):
@@ -195,6 +242,7 @@ def rollout(
     control_sequence=None,
     unroll: int = 1,
     stop_time=None,
+    stop_condition_type: int | None = None,
 ) -> RolloutResult:
     """Run `num_steps` of physics and reduce the full fitness-statistic set.
 
@@ -208,17 +256,78 @@ def rollout(
     sim time passes it, its state freezes for the remaining steps. This lets
     a batch of rollouts with heterogeneous dt (CalcMaxDt is design-dependent,
     reference: VX_Sim.cpp:1693-1727) share one fixed-length scan.
+
+    `stop_condition_type`: one of types.SC_* (reference: VX_Enums.h:55-65,
+    StopConditionMet VX_Sim.cpp:1398-1510). The scan always runs its static
+    `num_steps`; a met stop condition freezes the rollout's state (time
+    included, so Lifetime reports the stop time). The quiescence conditions
+    (SC_CONST_MAXENERGY / SC_MIN_KE / SC_MIN_MAXMOVE*) replicate the
+    reference's HISTORY_SIZE=10000-deep check sampled every 1000 steps,
+    with the ring anchored at step multiples of 1000 rather than sliding
+    per-step (a bounded-by-1000-steps timing difference). SC_POINTING_ERR
+    falls back to its guaranteed max-sim-time component (the pointing-error
+    branch requires tip-voxel wiring the CLI path never configures).
+    None defaults to SC_MAX_SIM_TIME behavior via `stop_time`/`num_steps`.
     """
     if dt is None:
         dt = calc_max_dt(body) * sim.dt_frac
     if state is None:
-        state = init_state(body, volume_effects=sim.volume_effects_enabled)
+        state = init_state(
+            body,
+            volume_effects=sim.volume_effects_enabled,
+            ballistic_devo=(
+                env.num_trace_steps_in_window > 0
+                and body.using_final_voxel_size
+            ),
+        )
 
     n_knots = 0 if control_sequence is None else control_sequence.shape[0]
     want_trace = trace_every > 0 or env.norm_dist_by_vol
 
+    # ballistic development is active when the state carries a DevoState
+    # and the env defines speed windows (reference: NumTimeStepsInWindow>0)
+    ballistic = state.devo is not None and env.num_trace_steps_in_window > 0
+    n_win = env.num_trace_steps_in_window
+    tb = env.time_between_traces
+
+    from evosoro_tpu.core.types import (
+        HISTORY_SIZE,
+        MOTION_FLOOR_THR,
+        SC_CONST_MAXENERGY,
+        SC_MAX_TIME_STEPS,
+        SC_MIN_KE,
+        SC_MIN_MAXMOVE,
+        SC_MIN_MAXMOVE_MAX_SIM_TIME,
+        SC_POINTING_ERR,
+        SC_TEMP_CYCLES,
+    )
+
+    history_scs = (SC_CONST_MAXENERGY, SC_MIN_KE, SC_MIN_MAXMOVE,
+                   SC_MIN_MAXMOVE_MAX_SIM_TIME)
+    want_rings = stop_condition_type in history_scs
+    num_jump = HISTORY_SIZE // 10
+
     def step_fn(carry: _Carry, i):
         st = carry.state
+
+        # --- environmental sources: distances at the top of the step from
+        # the previous step's positions (reference: VX_Sim.cpp:1060
+        # updateSourcesInformation runs before Integrate), with a history
+        # sample every UPDATE_SOURCES_HIST_EVERY steps ---
+        src_min, src_sum, src_count = carry.src_min, carry.src_sum, carry.src_count
+        if env.sources is not None:
+            from evosoro_tpu.envs.sources import (
+                UPDATE_SOURCES_HIST_EVERY,
+                min_distances,
+                source_positions,
+            )
+
+            tau = jnp.maximum(st.time - sim.init_cm_time, 0.0)
+            spos = source_positions(env.sources, tau)
+            src_min = min_distances(spos, st, body).astype(st.pos.dtype)
+            hist = (i % UPDATE_SOURCES_HIST_EVERY) == 0
+            src_sum = src_sum + jnp.where(hist, src_min, 0.0)
+            src_count = src_count + hist
         # IniCM capture happens at the top of TimeStep when CurTime has
         # passed InitCmTime (reference: VX_Sim.cpp:1064-1075), i.e. with the
         # CoM computed from the *previous* step's positions.
@@ -256,9 +365,102 @@ def rollout(
             ctrl = control_sequence[knot]
 
         new_state = sim_step(st, body, sim, env, dt, prec, control_offset=ctrl)
+
+        # --- windowed speed traces for ballistic development (reference:
+        # UpdateStats pushes a window every NumTimeStepsInWindow trace
+        # intervals once past InitCmTime: VX_Sim.cpp:1600-1606) ---
+        buf_y, buf_v = carry.buf_y, carry.buf_v
+        n_traces, last_trace_t = carry.n_traces, carry.last_trace_t
+        last_win_t = carry.last_win_t
+        if ballistic:
+            t_new = new_state.time
+            cm_new = center_of_mass(new_state, body)
+            vol_new = total_volume(new_state, body)
+            trace_due = (t_new > sim.init_cm_time) & (
+                (n_traces == 0) | (last_trace_t + tb <= t_new)
+            )
+            pushed_y = jnp.roll(buf_y, -1).at[-1].set(cm_new[1])
+            pushed_v = jnp.roll(buf_v, -1).at[-1].set(vol_new)
+            buf_y = jnp.where(trace_due, pushed_y, buf_y)
+            buf_v = jnp.where(trace_due, pushed_v, buf_v)
+            n_traces = n_traces + trace_due
+            last_trace_t = jnp.where(trace_due, t_new, last_trace_t)
+
+            win_due = (t_new > sim.init_cm_time) & (
+                (last_win_t < 0) | (last_win_t + n_win * tb <= t_new)
+            )
+            dy = (buf_y[1:] - buf_y[:-1]) / body.nominal_size
+            avg_v = 0.5 * (buf_v[1:] + buf_v[:-1])
+            nb = buf_y.shape[0]
+            pair_ok = jnp.arange(nb - 1) >= (nb - jnp.minimum(n_traces, nb))
+            safe_v = jnp.where(avg_v > 0, avg_v, 1.0)
+            wdist = jnp.sum(
+                jnp.where(pair_ok, dy / safe_v**env.normalization_exponent, 0.0)
+            )
+            devo2 = new_state.devo.replace(
+                win_prev=jnp.where(
+                    win_due, new_state.devo.win_last, new_state.devo.win_prev
+                ),
+                win_last=jnp.where(win_due, wdist, new_state.devo.win_last),
+                win_count=new_state.devo.win_count + win_due,
+            )
+            new_state = new_state.replace(devo=devo2)
+            last_win_t = jnp.where(win_due, t_new, last_win_t)
+
         stopped = fell
         if stop_time is not None:
             stopped = stopped | (st.time >= stop_time)
+
+        # --- stop conditions beyond max-sim-time (reference:
+        # VX_Sim.cpp:1398-1510 StopConditionMet, checked before each step
+        # and gated on CurTime > InitCmTime) ---
+        ring_ke, ring_tote, ring_move = (
+            carry.ring_ke, carry.ring_tote, carry.ring_move
+        )
+        if stop_condition_type is not None:
+            sc = stop_condition_type
+            scv = sim.stop_condition_value
+            met = jnp.zeros((), bool)
+            if sc == SC_MAX_TIME_STEPS:
+                met = i > jnp.asarray(scv + 0.5).astype(jnp.int32)
+            elif sc == SC_TEMP_CYCLES:
+                met = st.time > env.temp_period * scv
+            elif sc == SC_POINTING_ERR:
+                met = st.time > scv
+            elif sc in history_scs:
+                n_vox_inv = 1.0 / jnp.maximum(jnp.sum(body.occ), 1)
+                cur_ke = st.ke_history[0]
+                cur_tote = cur_ke + st.total_strain_e
+                cur_move = st.max_vox_vel * dt
+                if sc == SC_MIN_KE:
+                    ok = (ring_ke >= 0) & (ring_ke * n_vox_inv <= 0.001 * scv)
+                    met = jnp.all(ok) & (cur_ke * n_vox_inv <= 0.001 * scv)
+                elif sc == SC_CONST_MAXENERGY:
+                    ok = (ring_tote >= 0) & (
+                        jnp.abs(ring_tote - cur_tote) * n_vox_inv
+                        <= 0.001 * scv
+                    )
+                    met = jnp.all(ok)
+                elif sc == SC_MIN_MAXMOVE:
+                    ok = (ring_move >= 0) & (ring_move <= 0.001 * scv)
+                    met = jnp.all(ok) & (cur_move <= 0.001 * scv)
+                else:  # SC_MIN_MAXMOVE_MAX_SIM_TIME
+                    ok = (ring_move >= 0) & (ring_move <= MOTION_FLOOR_THR)
+                    met = (st.time > scv) | (
+                        jnp.all(ok) & (cur_move <= MOTION_FLOOR_THR)
+                    )
+                # push the history rings every num_jump steps
+                push = (i % num_jump) == 0
+                ring_ke = jnp.where(
+                    push, jnp.roll(ring_ke, 1).at[0].set(cur_ke), ring_ke
+                )
+                ring_tote = jnp.where(
+                    push, jnp.roll(ring_tote, 1).at[0].set(cur_tote), ring_tote
+                )
+                ring_move = jnp.where(
+                    push, jnp.roll(ring_move, 1).at[0].set(cur_move), ring_move
+                )
+            stopped = stopped | ((st.time > sim.init_cm_time) & met)
         new_state = jax.tree_util.tree_map(
             lambda old, new: jnp.where(stopped, old, new), st, new_state
         )
@@ -268,7 +470,10 @@ def rollout(
             out = (cm_now, total_volume(st, body), st.time)
         return (
             _Carry(new_state, ini_cm, cm_initialized, eol_y, eol_captured,
-                   fell, ini_needle, needle_init),
+                   fell, ini_needle, needle_init,
+                   buf_y, buf_v, n_traces, last_trace_t, last_win_t,
+                   src_min, src_sum, src_count,
+                   ring_ke, ring_tote, ring_move),
             out,
         )
 
@@ -282,6 +487,19 @@ def rollout(
         jnp.zeros((), bool),
         _needle_pos(state, body),
         jnp.zeros((), bool),
+        buf_y=jnp.zeros((n_win,), dtype) if ballistic else None,
+        buf_v=jnp.zeros((n_win,), dtype) if ballistic else None,
+        n_traces=jnp.zeros((), jnp.int32) if ballistic else None,
+        last_trace_t=jnp.full((), -1.0, dtype) if ballistic else None,
+        last_win_t=jnp.full((), -1.0, dtype) if ballistic else None,
+        src_min=(jnp.full((env.sources.num_sources,), -1.0, dtype)
+                 if env.sources is not None else None),
+        src_sum=(jnp.zeros((env.sources.num_sources,), dtype)
+                 if env.sources is not None else None),
+        src_count=jnp.zeros((), jnp.int32) if env.sources is not None else None,
+        ring_ke=jnp.full((10,), -1.0, dtype) if want_rings else None,
+        ring_tote=jnp.full((10,), -1.0, dtype) if want_rings else None,
+        ring_move=jnp.full((10,), -1.0, dtype) if want_rings else None,
     )
     xs = jnp.arange(num_steps)
     stride = max(trace_every, 1)
@@ -313,9 +531,11 @@ def rollout(
     vdist = jnp.where(vdsq > 0, jnp.sqrt(jnp.where(vdsq > 0, vdsq, 1.0)), 0.0) / L
     anterior_dist = jnp.max(jnp.where(body.occ, vdist, 0.0))
     posterior_dist = jnp.min(jnp.where(body.occ, vdist, _BIG))
+    # anterior/posterior voxel y in lattice units, AnteriorY floored at 0
+    # by its accumulator init (reference: VX_Sim.cpp getAnteriorY/getPosteriorY)
     non_obstacle = body.occ & (body.mat != 5)
-    anterior_y = jnp.max(jnp.where(non_obstacle, final.pos[..., 1], 0.0))
-    posterior_y = jnp.min(jnp.where(non_obstacle, final.pos[..., 1], _BIG))
+    anterior_y = jnp.max(jnp.where(non_obstacle, final.pos[..., 1] / L, 0.0))
+    posterior_y = jnp.min(jnp.where(non_obstacle, final.pos[..., 1] / L, _BIG))
 
     n_all, n_feet = _touch_counts(final, body)
 
@@ -366,13 +586,13 @@ def rollout(
         push_dist = jnp.zeros_like(final_dist)
         found_needle = jnp.zeros((), jnp.int32)
 
-    # fall-over zeroing (reference: VX_SimGA.cpp:115-126)
+    # fall-over zeroing (reference: VX_SimGA.cpp:115-126; the penalty
+    # subtracts the workspace Z dimension in voxel counts, GetVZDim)
     fall_adj_post_y = carry.eol_posterior_y
     if env.falling_prohibited:
         Z = body.occ.shape[2]
-        height = Z * L
         zero = carry.fell_over
-        fall_adj_post_y = jnp.where(zero, fall_adj_post_y - height, fall_adj_post_y)
+        fall_adj_post_y = jnp.where(zero, fall_adj_post_y - Z, fall_adj_post_y)
         norm_final_dist = jnp.where(zero, 0.0, norm_final_dist)
         norm_regime_dist = jnp.where(zero, 0.0, norm_regime_dist)
         norm_frozen_dist = jnp.where(zero, 0.0, norm_frozen_dist)
@@ -385,7 +605,18 @@ def rollout(
     # tools/evaluation.py:107-110)
     norm_final_dist = jnp.where(final.diverged, 0.0, norm_final_dist)
 
+    source_min_dist = source_avg_min_dist = None
+    if env.sources is not None:
+        source_min_dist = carry.src_min
+        source_avg_min_dist = jnp.where(
+            carry.src_count > 0,
+            carry.src_sum / jnp.maximum(carry.src_count, 1),
+            -1.0,
+        )
+
     return RolloutResult(
+        source_min_dist=source_min_dist,
+        source_avg_min_dist=source_avg_min_dist,
         final_state=final,
         ini_cm=ini_cm,
         final_cm=final_cm,

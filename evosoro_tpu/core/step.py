@@ -23,6 +23,7 @@ from evosoro_tpu.core.constants import (
     DEFAULT_PRECISION,
     DIVERGENCE_STRAIN,
     HYSTERESIS_FACTOR,
+    REF_PI_FLOAT,
     SA_BOND_EXT_PERC,
     Precision,
 )
@@ -315,7 +316,9 @@ def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
             # temp_period == 0 means "no varying temp" (reference:
             # VX_Environment.cpp UpdateCurTemp early-returns) → zero ΔT
             period_ok = env.temp_period != 0
-            w = 2.0 * jnp.pi * state.time * _safe_div(
+            # float-truncated π replicates the reference per-material
+            # temperature sinusoid (VX_Environment.cpp:451: 2*3.1415926f)
+            w = 2.0 * REF_PI_FLOAT * state.time * _safe_div(
                 jnp.ones_like(state.time), env.temp_period
             )
             dT1 = jnp.where(
@@ -370,6 +373,21 @@ def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
             -b2 * p2y + b3 * (a1z + 2.0 * a2z),
         ],
         axis=-1,
+    )
+
+    # --- strain energy, bond frame, pre-damping (reference: VXS_Bond.cpp
+    # :115-122 CalcStrainEnergy, invoked before AddDampForces) ---
+    a1 = body.bond_a1[d]
+    inv = lambda x: _safe_div(jnp.ones_like(x), x)  # noqa: E731
+    m1z, m2z = m1[..., 2], m2[..., 2]
+    m1y, m2y = m1[..., 1], m2[..., 1]
+    strain_energy = jnp.where(
+        mask,
+        0.5 * inv(a1) * f1[..., 0] ** 2
+        + 0.5 * inv(a2c) * m1[..., 0] ** 2
+        + (1.0 / 3.0) * inv(b3) * (m1z * m1z - m1z * m2z + m2z * m2z)
+        + (1.0 / 3.0) * inv(b3) * (m1y * m1y - m1y * m2y + m2y * m2y),
+        0.0,
     )
 
     # --- critical damping from frame-state memory (reference: :310-346) ---
@@ -433,15 +451,25 @@ def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
     m1 = jnp.where(maskf, m1, 0.0)
     m2 = jnp.where(maskf, m2, 0.0)
 
+    # the damping frame memory is written inside the reference's
+    # AddDampForces (VXS_BondInternal.cpp:344-347), which is SKIPPED on a
+    # small/large-angle transition step — the memory then goes stale for
+    # exactly one step. Replicate: keep the old memory where `changed`.
+    keep = changed[..., None]
+    new_last_pos2 = jnp.where(keep, state.last_pos2[d], _pos2)
+    new_last_a1 = jnp.where(keep, state.last_angle1[d], _a1)
+    new_last_a2 = jnp.where(keep, state.last_angle2[d], _a2)
+
     return dict(
         f1=f1, f2=f2, m1=m1, m2=m2,
+        strain_energy=strain_energy,
         sv1=jnp.where(mask, sv1, 0.0),
         sv2=jnp.where(mask, sv2, 0.0),
         strain=jnp.where(mask, strain, 0.0),
         small_angle=jnp.where(mask, small, sa_prev),
-        last_pos2=jnp.where(maskf, _pos2, 0.0),
-        last_angle1=jnp.where(maskf, _a1, 0.0),
-        last_angle2=jnp.where(maskf, _a2, 0.0),
+        last_pos2=jnp.where(maskf, new_last_pos2, 0.0),
+        last_angle1=jnp.where(maskf, new_last_a1, 0.0),
+        last_angle2=jnp.where(maskf, new_last_a2, 0.0),
         max_strain=jnp.where(mask, max_strain, 0.0),
         strain_offset=jnp.where(mask, strain_offset, 0.0),
     )
@@ -518,10 +546,26 @@ def _floor_effect(state, body, sim: SimParams, env: EnvParams, vel, total_force,
 # ---------------------------------------------------------------------------
 
 def _scale_update(state, body, sim: SimParams, env: EnvParams, t):
+    """Returns (new_scale, new_devo_state). new_devo_state is None unless
+    ballistic development is active (state.devo is not None)."""
     nom = jnp.broadcast_to(body.nominal_size, state.scale.shape)
     max_scale = (1.0 + env.growth_amplitude) * nom
     min_scale = sim.min_temp_fact * nom
     last = state.last_scale
+
+    # devo fields come from the dynamic DevoState under ballistic
+    # development, else from the static body arrays
+    devo = state.devo
+    if devo is not None:
+        initial_voxel_size = devo.initial_voxel_size
+        final_voxel_size = devo.final_voxel_size
+        growth_time = devo.growth_time
+        start_growth_time = devo.start_growth_time
+    else:
+        initial_voxel_size = body.initial_voxel_size
+        final_voxel_size = body.final_voxel_size
+        growth_time = body.growth_time
+        start_growth_time = body.start_growth_time
 
     # prenatal linear development ramp (reference: :237-238)
     if body.using_initial_voxel_size:
@@ -530,7 +574,7 @@ def _scale_update(state, body, sim: SimParams, env: EnvParams, t):
             1.0,
             _safe_div(2.0 * t, sim.init_cm_time),
         )
-        prenatal = c * (_safe_div(body.initial_voxel_size, nom) - 1.0)
+        prenatal = c * (_safe_div(initial_voxel_size, nom) - 1.0)
     else:
         prenatal = jnp.zeros_like(nom)
 
@@ -546,17 +590,17 @@ def _scale_update(state, body, sim: SimParams, env: EnvParams, t):
         freeze = sim.mid_life_freeze_time
         middle = 0.5 * (sim.stop_condition_value - sim.init_cm_time)
         frozen_adj = jnp.clip(t - (middle - 0.5 * freeze), 0.0, freeze)
-        growing = (t >= body.start_growth_time) & (body.growth_time > 0)
+        growing = (t >= start_growth_time) & (growth_time > 0)
         eff_t = (
-            jnp.minimum(t, body.start_growth_time + body.growth_time + freeze)
+            jnp.minimum(t, start_growth_time + growth_time + freeze)
             - frozen_adj
         )
         k = jnp.where(
-            growing, _safe_div(eff_t - body.start_growth_time, body.growth_time), 0.0
+            growing, _safe_div(eff_t - start_growth_time, growth_time), 0.0
         )
         if body.using_final_voxel_size:
             dev_temp_fact = k * (
-                _safe_div(body.final_voxel_size, body.initial_voxel_size) - 1.0
+                _safe_div(final_voxel_size, initial_voxel_size) - 1.0
             )
         if body.using_final_phase_offset:
             dev_phase = k * (body.final_phase_offset - body.phase_offset)
@@ -570,17 +614,39 @@ def _scale_update(state, body, sim: SimParams, env: EnvParams, t):
         phase = body.phase_offset + dev_phase
         amp_damp = body.temp_amp_damp + dev_ampdamp
         # temp_period == 0 → no oscillation (reference guards this case in
-        # VX_Environment.cpp UpdateCurTemp)
-        inv_period = _safe_div(jnp.ones_like(t), env.temp_period)
+        # VX_Environment.cpp UpdateCurTemp); float-truncated π matches the
+        # reference's 2*3.1415926f drive, and the per-voxel TempAmplitude/
+        # TempPeriod are float32 members there (VXS_Voxel.h:109-110,
+        # VXS_Voxel.cpp:302) — quantize both for trajectory parity
+        amp_q = jnp.asarray(env.temp_amplitude).astype(jnp.float32).astype(
+            nom.dtype
+        )
+        period_q = jnp.asarray(env.temp_period).astype(jnp.float32).astype(
+            nom.dtype
+        )
+        t_over_period = _safe_div(t, period_q)
         ctrl = (
             amp_damp
-            * env.temp_amplitude
-            * jnp.sin(2.0 * jnp.pi * (t * inv_period + phase))
+            * (amp_q * jnp.sin(2.0 * REF_PI_FLOAT * (t_over_period + phase)))
             * body.cte
         )
         ctrl = jnp.where(
             (t >= sim.init_cm_time) & (env.temp_period != 0), ctrl, 0.0
         )
+        # FreezeInitialized: actuation is zeroed for the first InitCmTime of
+        # the mid-life freeze window, letting the frozen body re-settle
+        # (reference: VXS_Voxel.cpp:234-256, :302 — CtrlTempFact *=
+        # FreezeInitialized)
+        freeze = sim.mid_life_freeze_time
+        middle = 0.5 * (sim.stop_condition_value - sim.init_cm_time)
+        fs = middle - 0.5 * freeze
+        freeze_uninit = (
+            (freeze > 0)
+            & (t > fs)
+            & (t < middle + 0.5 * freeze)
+            & (t < fs + sim.init_cm_time)
+        )
+        ctrl = jnp.where(freeze_uninit, 0.0, ctrl)
     else:
         ctrl = jnp.zeros_like(nom)
 
@@ -595,7 +661,57 @@ def _scale_update(state, body, sim: SimParams, env: EnvParams, t):
     curr = ctrl * nom + (1.0 + prenatal) * (1.0 + dev_temp_fact) * nom
     curr = jnp.where((curr < last) & (curr < min_scale), last, curr)
     curr = jnp.where((curr > last) & (curr > max_scale), last, curr)
-    return jnp.where(body.occ, curr, nom)
+    new_scale = jnp.where(body.occ, curr, nom)
+
+    # --- ballistic velocity-adjusted development (reference:
+    # VXS_Voxel.cpp:342-381): once two speed windows exist, every step
+    # rebase development at the current size; if the windowed speed fell
+    # by more than MaxSlowdownPermitted, pull the final size toward the
+    # current size by BallisticSlowdownFact (development slows/stops) ---
+    new_devo = devo
+    if devo is not None:
+        n_win = env.num_trace_steps_in_window
+        time_in_window = n_win * env.time_between_traces
+        ready = (
+            (devo.win_count >= 2)
+            & (t >= sim.init_cm_time + 2.0 * time_in_window)
+        )
+        apply = ready & (t >= start_growth_time + env.min_growth_time)
+
+        this_speed, last_speed = devo.win_last, devo.win_prev
+        decreasing = (
+            (last_speed > 0)
+            & (this_speed < last_speed)
+            & (_safe_div(this_speed, jnp.where(last_speed != 0, last_speed, 1.0))
+               < 1.0 - env.max_slowdown_permitted)
+        )
+        adj = 1.0 - decreasing.astype(nom.dtype) * env.ballistic_slowdown_fact
+
+        cur_size = (1.0 + prenatal) * (1.0 + dev_temp_fact) * nom
+        suggested = cur_size + (final_voxel_size - cur_size) * adj
+        orig = devo.original_final_voxel_size
+        # monotonicity + original-bound clamps (reference: :367-377)
+        up = orig > cur_size
+        sugg_up = jnp.minimum(suggested, orig)
+        fin_up = jnp.where(sugg_up >= cur_size, sugg_up, cur_size)
+        sugg_dn = jnp.maximum(suggested, orig)
+        fin_dn = jnp.where(sugg_dn <= cur_size, sugg_dn, cur_size)
+        reb_final = jnp.where(up, fin_up, fin_dn)
+        reb_growth = jnp.maximum(growth_time - (t - start_growth_time), 0.0)
+
+        def q(x):  # the reference stores these fields as float32
+            return x.astype(jnp.float32).astype(nom.dtype)
+
+        new_devo = devo.replace(
+            initial_voxel_size=jnp.where(apply, q(cur_size), initial_voxel_size),
+            final_voxel_size=jnp.where(apply, q(reb_final), final_voxel_size),
+            growth_time=jnp.where(apply, q(reb_growth), growth_time),
+            start_growth_time=jnp.where(
+                apply, q(jnp.broadcast_to(t, nom.shape)), start_growth_time
+            ),
+        )
+
+    return new_scale, new_devo
 
 
 # ---------------------------------------------------------------------------
@@ -741,7 +857,7 @@ def sim_step(
     angmom = jnp.where(occf, angmom, 0.0)
 
     # ---- actuation / growth (reference: :224-341) ----
-    new_scale = _scale_update(state, body, sim, env, t)
+    new_scale, new_devo = _scale_update(state, body, sim, env, t)
     if control_offset is not None:
         # MPC direct actuation channel: additive scale modulation
         ctrl_off = jnp.asarray(control_offset, new_scale.dtype)
@@ -755,6 +871,10 @@ def sim_step(
         + body.inertia * jnp.sum(angvel_new * angvel_new, axis=-1)
     )
     ke_history = jnp.roll(state.ke_history, 1).at[0].set(ke)
+    total_strain_e = sum(jnp.sum(b["strain_energy"]) for b in bonds)
+    max_vox_vel = jnp.sqrt(
+        jnp.max(jnp.where(occ, jnp.sum(vel_new * vel_new, axis=-1), 0.0))
+    )
     if sim.equilibrium_mode:
         decreasing = (
             ke_history[0] + ke_history[1] + ke_history[2]
@@ -781,6 +901,9 @@ def sim_step(
         ke_history=ke_history,
         ts_sum=new_ts_sum,
         cs_area=new_cs_area,
+        devo=new_devo,
+        total_strain_e=total_strain_e,
+        max_vox_vel=max_vox_vel,
     )
 
     # freeze state once diverged (reference aborts: VX_Sim.cpp:1774-1777)

@@ -26,6 +26,16 @@ DOF_ALL = 63
 # Material models (reference: VX_Object.h MatModel enum)
 MDL_LINEAR, MDL_LINEAR_FAIL, MDL_BILINEAR, MDL_DATA = 0, 1, 2, 3
 
+# Stop conditions (reference: VX_Enums.h:55-65 StopCondition)
+(SC_NONE, SC_MAX_TIME_STEPS, SC_MAX_SIM_TIME, SC_TEMP_CYCLES,
+ SC_CONST_MAXENERGY, SC_MIN_KE, SC_MIN_MAXMOVE,
+ SC_MIN_MAXMOVE_MAX_SIM_TIME, SC_POINTING_ERR) = range(9)
+
+# reference: VX_Sim.h:40 — history depth for quiescence stop conditions;
+# checks sample every HISTORY_SIZE/10 steps
+HISTORY_SIZE = 10000
+MOTION_FLOOR_THR = 5e-8  # reference: VX_Sim.cpp:35
+
 
 @struct.dataclass
 class SimParams:
@@ -47,6 +57,10 @@ class SimParams:
     max_vox_vel_limit: Any = 0.1  # in voxel-lengths per timestep (if enabled)
     afterlife_time: Any = 0.0
     mid_life_freeze_time: Any = 0.0
+    # parent's lifetime for relative devo onset/termination bounds
+    # (reference: VX_Sim.cpp:348 — defaults to StopConditionValue; the
+    # sentinel 0.0 means "unset, use stop_condition_value")
+    parent_lifetime: Any = 0.0
 
     # static feature switches (reference: VXSFEAT_* flags, VX_Sim.h)
     self_collisions_enabled: bool = struct.field(pytree_node=False, default=False)
@@ -70,6 +84,11 @@ class EnvParams:
     temp_amplitude: Any = 39.0  # base.py temp_amp default
     temp_period: Any = 0.25  # 1/frequency (base.py frequency=4.0)
     growth_amplitude: Any = 0.0
+    # development clocks / ballistic development (reference:
+    # VX_Environment.cpp:210-227, VXS_Voxel.cpp:342-381)
+    min_growth_time: Any = 0.0
+    ballistic_slowdown_fact: Any = 0.01
+    max_slowdown_permitted: Any = 0.1
     floor_radius: Any = 0.0  # limited circular floor radius (VXS_Voxel.cpp:677-700)
     # aquatic (land_water fork: VX_Environment.cpp:190-191)
     aggregate_drag_coefficient: Any = 0.0
@@ -81,6 +100,10 @@ class EnvParams:
     norm_dist_by_vol: bool = struct.field(pytree_node=False, default=False)
     falling_prohibited: bool = struct.field(pytree_node=False, default=False)
     needle_in_haystack: bool = struct.field(pytree_node=False, default=False)
+    # devo onset/termination bounds measured against the parent's lifetime
+    # instead of this sim's stop condition (reference: VX_Environment.cpp:220-221)
+    onset_relative: bool = struct.field(pytree_node=False, default=False)
+    termination_relative: bool = struct.field(pytree_node=False, default=False)
 
     gravity_enabled: bool = struct.field(pytree_node=False, default=True)
     floor_enabled: bool = struct.field(pytree_node=False, default=True)
@@ -91,6 +114,9 @@ class EnvParams:
     fluid_environment: bool = struct.field(pytree_node=False, default=False)
     # lattice pitch in meters (base.py lattice_dimension=0.01)
     lattice_dim: Any = 0.01
+    # environmental sources (envs.sources.EnvSources pytree or None;
+    # reference: VX_Source, VX_Environment.h:40-130)
+    sources: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -269,6 +295,36 @@ class VoxelBody:
 
 
 @struct.dataclass
+class DevoState:
+    """Dynamic development state for ballistic (velocity-adjusted)
+    development (reference: VXS_Voxel.cpp:342-381).
+
+    When the environment enables windowed speed traces
+    (NumTimeStepsInWindow > 0 with NormDistByVol), the reference rebases
+    each voxel's development every step once two speed windows exist:
+    initialVoxelSize/finalVoxelSize/growthTime/startGrowthTime become
+    *mutable per-voxel state*, pulled toward the current size whenever the
+    robot's windowed speed drops by more than MaxSlowdownPermitted. The
+    rollout driver maintains the windowed speeds (win_prev/win_last) from
+    its CoM/volume trace; sim_step applies the rebase.
+
+    NOTE a deliberate divergence: the reference reads
+    ``WindowTrace[WindowTrace.size()]`` (VXS_Voxel.cpp:352) — one past the
+    end of the vector, which is undefined behavior in C++. We implement
+    the evident intent (the last two completed windows).
+    """
+
+    initial_voxel_size: Any  # (X,Y,Z) [m]
+    final_voxel_size: Any  # (X,Y,Z) [m]
+    original_final_voxel_size: Any  # (X,Y,Z) [m] — monotonicity bound
+    growth_time: Any  # (X,Y,Z) [s]
+    start_growth_time: Any  # (X,Y,Z) [s]
+    win_prev: Any  # scalar — previous completed window's norm dist
+    win_last: Any  # scalar — last completed window's norm dist
+    win_count: Any  # scalar int — completed windows so far
+
+
+@struct.dataclass
 class SimState:
     """Dynamic state carried through the rollout scan.
 
@@ -306,3 +362,13 @@ class SimState:
     # effects feature is off (the scan then carries no extra state).
     ts_sum: Any = None  # (2,3,X,Y,Z) transverse strain sums
     cs_area: Any = None  # (2,3,X,Y,Z) current cross-section areas
+
+    # ballistic-development state (None unless enabled — see DevoState)
+    devo: Any = None
+
+    # per-step scalar statistics consumed by stop conditions (reference:
+    # VX_Sim.cpp:1685-1687 history pushes). total_strain_e replicates
+    # CalcStrainEnergy summed over bonds (VXS_Bond.cpp:115-122);
+    # max_vox_vel is SS.MaxVoxVel (MaxMoveHistory entry = MaxVoxVel*dt).
+    total_strain_e: Any = None
+    max_vox_vel: Any = None

@@ -125,6 +125,15 @@ class VXADocument:
             self.bcs, self.structure, self.lattice_dim
         )
 
+        # VXA devo arrays are normalized genome outputs; map them to actual
+        # sizes/times the way the reference does at import
+        # (VX_Sim.cpp:878-965; see materials.devo_params_from_vxa)
+        from evosoro_tpu.core.materials import devo_params_from_vxa
+
+        devo = devo_params_from_vxa(
+            arr, self.sim, self.env, self.lattice_dim, self.structure
+        )
+
         return build_body(
             self.structure,
             palette,
@@ -133,11 +142,8 @@ class VXADocument:
             final_phase_offset=arr.get("finalphaseoffset"),
             temp_amp_damp=arr.get("tempampdamp"),
             final_temp_amp_damp=arr.get("finaltempampdamp"),
-            initial_voxel_size=arr.get("initialvoxelsize"),
-            final_voxel_size=arr.get("finalvoxelsize"),
-            growth_time=arr.get("growthtime"),
-            start_growth_time=arr.get("startgrowthtime"),
             stiffness=arr.get("stiffness"),
+            **devo,
             dof_fixed=dof_fixed,
             external_force=ext_force,
             external_disp=ext_disp,
@@ -367,6 +373,7 @@ def load_vxa(path) -> VXADocument:
         init_cm_time=_text(stop, "InitCmTime", 0.0),
         afterlife_time=_text(stop, "AfterlifeTime", 0.0),
         mid_life_freeze_time=_text(stop, "MidLifeFreezeTime", 0.0),
+        parent_lifetime=_text(sim_el, "ParentLifetime", 0.0),
         min_temp_fact=_text(sim_el, "MinTempFact", 0.1),
         max_vox_vel_limit=_text(feat, "MaxVoxVelLimit", 0.1),
         self_collisions_enabled=_text(cols, "SelfColEnabled", False, cast=bool),
@@ -396,6 +403,30 @@ def load_vxa(path) -> VXADocument:
     floor_radius = _text(env_el, "FloorRadius", None)
     bcs = _parse_regions(env_el) if env_el is not None else []
 
+    # environmental sources (reference: VX_Environment.cpp:241-285)
+    sources = None
+    src_el = env_el.find("Sources") if env_el is not None else None
+    if src_el is not None:
+        from evosoro_tpu.envs.sources import make_sources
+
+        entries = []
+        for s in src_el.findall("Source"):
+            entries.append(dict(
+                name=_text(s, "SourceName", "NoNameSource", cast=str),
+                type=_text(s, "SourceType", 0, cast=int),
+                enabled=_text(s, "SourceEnabled", False, cast=bool),
+                pos=(_text(s, "SourcePositionX", 0.0),
+                     _text(s, "SourcePositionY", 0.0),
+                     _text(s, "SourcePositionZ", 0.0)),
+                amp=(_text(s, "SourceMotionAmpX", 0.0),
+                     _text(s, "SourceMotionAmpY", 0.0),
+                     _text(s, "SourceMotionAmpZ", 0.0)),
+                freq=(_text(s, "SourceMotionFreqX", 0.0),
+                      _text(s, "SourceMotionFreqY", 0.0),
+                      _text(s, "SourceMotionFreqZ", 0.0)),
+            ))
+        sources = make_sources(entries)
+
     env = EnvParams(
         grav_acc=_text(grav, "GravAcc", -9.81),
         floor_slope=_text(grav, "FloorSlope", 0.0),
@@ -403,7 +434,23 @@ def load_vxa(path) -> VXADocument:
         temp_amplitude=temp_amplitude,
         temp_period=_text(therm, "TempPeriod", 0.1),
         growth_amplitude=_text(env_el, "GrowthAmplitude", 0.0),
+        min_growth_time=_text(env_el, "MinGrowthTime", 0.0),
+        ballistic_slowdown_fact=_text(env_el, "BallisticSlowdownFact", 0.01),
+        max_slowdown_permitted=_text(env_el, "MaxSlowdownPermitted", 0.1),
+        num_trace_steps_in_window=_text(
+            env_el, "NumTimeStepsInWindow", 0, cast=int
+        ),
+        time_between_traces=_text(env_el, "TimeBetweenTraces", 0.01),
+        normalization_exponent=_text(env_el, "NormalizationExponent", 1.0),
+        norm_dist_by_vol=_text(env_el, "NormDistByVol", False, cast=bool),
+        falling_prohibited=_text(env_el, "FallingProhibited", False, cast=bool),
+        needle_in_haystack=_text(env_el, "NeedleInHaystack", False, cast=bool),
+        onset_relative=_text(env_el, "OnsetRelative", False, cast=bool),
+        termination_relative=_text(
+            env_el, "TerminationRelative", False, cast=bool
+        ),
         floor_radius=floor_radius if floor_radius is not None else 0.0,
+        sources=sources,
         aggregate_drag_coefficient=_text(
             env_el, "AggregateDragCoefficient", 0.0
         ),
@@ -550,6 +597,33 @@ def write_vxa(
 </GA>
 """
 
+    sources_block = ""
+    if getattr(env, "sources", None) is not None:
+        import numpy as _np
+
+        s = env.sources
+        rows = []
+        for k in range(int(_np.asarray(s.base_pos).shape[0])):
+            bp = _np.asarray(s.base_pos)[k]
+            am = _np.asarray(s.amp)[k]
+            fq = _np.asarray(s.freq)[k]
+            rows.append(
+                "<Source>\n"
+                f"<SourceType>{int(_np.asarray(s.source_type)[k])}</SourceType>\n"
+                f"<SourceEnabled>{int(bool(_np.asarray(s.enabled)[k]))}</SourceEnabled>\n"
+                f"<SourcePositionX>{bp[0]}</SourcePositionX>\n"
+                f"<SourcePositionY>{bp[1]}</SourcePositionY>\n"
+                f"<SourcePositionZ>{bp[2]}</SourcePositionZ>\n"
+                f"<SourceMotionAmpX>{am[0]}</SourceMotionAmpX>\n"
+                f"<SourceMotionFreqX>{fq[0]}</SourceMotionFreqX>\n"
+                f"<SourceMotionAmpY>{am[1]}</SourceMotionAmpY>\n"
+                f"<SourceMotionFreqY>{fq[1]}</SourceMotionFreqY>\n"
+                f"<SourceMotionAmpZ>{am[2]}</SourceMotionAmpZ>\n"
+                f"<SourceMotionFreqZ>{fq[2]}</SourceMotionFreqZ>\n"
+                "</Source>"
+            )
+        sources_block = "<Sources>\n" + "\n".join(rows) + "\n</Sources>\n"
+
     trace_tags = ""
     if save_traces:
         trace_tags = (
@@ -601,6 +675,7 @@ def write_vxa(
 <InitCmTime>{sim.init_cm_time}</InitCmTime>
 <AfterlifeTime>{sim.afterlife_time}</AfterlifeTime>
 <MidLifeFreezeTime>{sim.mid_life_freeze_time}</MidLifeFreezeTime>
+<ParentLifetime>{sim.parent_lifetime or sim.stop_condition_value}</ParentLifetime>
 </StopCondition>
 <EquilibriumMode>
 <EquilibriumModeEnabled>{int(sim.equilibrium_mode)}</EquilibriumModeEnabled>
@@ -628,8 +703,18 @@ def write_vxa(
 <TempPeriod>{env.temp_period}</TempPeriod>
 </Thermal>
 <GrowthAmplitude>{env.growth_amplitude}</GrowthAmplitude>
+<MinGrowthTime>{env.min_growth_time}</MinGrowthTime>
+<BallisticSlowdownFact>{env.ballistic_slowdown_fact}</BallisticSlowdownFact>
+<MaxSlowdownPermitted>{env.max_slowdown_permitted}</MaxSlowdownPermitted>
+<NumTimeStepsInWindow>{env.num_trace_steps_in_window}</NumTimeStepsInWindow>
+<NormDistByVol>{int(env.norm_dist_by_vol)}</NormDistByVol>
+<NormalizationExponent>{env.normalization_exponent}</NormalizationExponent>
+<FallingProhibited>{int(env.falling_prohibited)}</FallingProhibited>
+<NeedleInHaystack>{int(env.needle_in_haystack)}</NeedleInHaystack>
+<OnsetRelative>{int(env.onset_relative)}</OnsetRelative>
+<TerminationRelative>{int(env.termination_relative)}</TerminationRelative>
 <StickyFloor>{int(env.sticky_floor)}</StickyFloor>
-{trace_tags}{extra_env_tags}</Environment>
+{sources_block}{trace_tags}{extra_env_tags}</Environment>
 <VXC Version="0.93">
 <Lattice>
 <Lattice_Dim>{env.lattice_dim}</Lattice_Dim>

@@ -56,9 +56,11 @@ def test_full_fitness_suite_finite():
     assert float(res.anterior_y) >= float(res.posterior_y)
     # trace lengths agree
     assert res.cm_trace.shape[0] == res.vol_trace.shape[0]
-    # volume trace starts at n_occupied * L^3 (rest state)
+    # volume trace is dimensionless (scale/L)^3 voxel counts, exactly the
+    # reference getTotalVolume (VX_Sim.cpp:2573-2580): at rest it equals
+    # the occupied-voxel count
     n_occ = int((s > 0).sum())
-    assert np.isclose(float(res.vol_trace[0]), n_occ * 0.01**3, rtol=1e-5)
+    assert np.isclose(float(res.vol_trace[0]), n_occ, rtol=1e-5)
     # touch counts: ints within [0, n_occ]
     assert 0 <= int(res.num_touching_floor) <= n_occ
     assert 0 <= int(res.num_non_feet_touching_floor) <= int(res.num_touching_floor)
