@@ -64,6 +64,10 @@ def build_body(
     growth_time=None,
     start_growth_time=None,
     stiffness=None,
+    stiffness_plasticity_rate=None,
+    kp=None,
+    ki=None,
+    antiwindup=None,
     dof_fixed=None,
     external_force=None,
     external_disp=None,
@@ -255,6 +259,13 @@ def build_body(
         d_b2fm2=dcoef(bond_b2, fm2),
         d_b3i1=dcoef(bond_b3, i1),
         d_b3i2=dcoef(bond_b3, i2),
+        stiffness_plasticity_rate=(
+            opt_f32(stiffness_plasticity_rate)
+            if stiffness_plasticity_rate is not None else None
+        ),
+        kp=opt_f32(kp) if kp is not None else None,
+        ki=opt_f32(ki) if ki is not None else None,
+        antiwindup=opt_f32(antiwindup) if antiwindup is not None else None,
         plastic_mod=g(palette.plastic_mod),
         yield_stress=g(palette.yield_stress),
         mat_temp_phase=g(palette.mat_temp_phase),

@@ -103,8 +103,14 @@ def quat_from_rotation_vector(rv):
     s = jnp.sin(half)
     w = jnp.cos(half)
     q = jnp.concatenate([w, axis * s], axis=-1)
-    ident = jnp.zeros_like(q).at[..., 0].set(1.0)
-    return jnp.where(angle > 0, q, ident)
+    # zero rotation → identity, via the first-order exp map (w=1,
+    # xyz=rv/2) rather than a constant: the value is identical but the
+    # tangent d(xyz)/d(rv) = 1/2 survives, keeping linearizations at the
+    # rest state (FEA, BPTT) correct
+    q_small = jnp.concatenate(
+        [jnp.ones_like(w), 0.5 * rv], axis=-1
+    )
+    return jnp.where(angle > 0, q, q_small)
 
 
 def quat_to_rotation_vector(q, prec: Precision = DEFAULT_PRECISION):
@@ -123,7 +129,13 @@ def quat_to_rotation_vector(q, prec: Precision = DEFAULT_PRECISION):
     slow_arg = jnp.where(pos & ~fast_sel, jnp.clip(wc, -1.0, 1.0), 0.0)
     scale_slow = 2.0 * jnp.arccos(slow_arg) * inv_sqrt
     scale = jnp.where(fast_sel, scale_fast, scale_slow)
-    scale = jnp.where(pos, scale, 0.0)
+    # at sq_len <= 0 the reference returns exactly zero; for a normalized
+    # quaternion that point has xyz == 0, so using the analytic limit
+    # scale→2 keeps the VALUE identical while giving the correct tangent
+    # 2·dxyz (a hard 0 here would zero d(rotation)/d(quat) at identity,
+    # silently dropping the shear-rotation coupling from every
+    # linearization/BPTT at the rest state — the FEA operator caught this)
+    scale = jnp.where(pos, scale, 2.0)
     return xyz * scale[..., None]
 
 

@@ -62,6 +62,26 @@ class SimParams:
     # sentinel 0.0 means "unset, use stop_condition_value")
     parent_lifetime: Any = 0.0
 
+    # --- parsed-for-parity engine parameters. The reference parses all of
+    # these (VX_Sim.cpp:335-351) but its live dynamics never read them:
+    # stiffness bounds / variation steps feed only GUI coloring
+    # (VXS_SimGLView.cpp:435-502), the PID gains feed the dormant pointing
+    # controller (computePointingError's TimeStep call is commented out,
+    # VX_Sim.cpp:1062), and error/threshold feed SC_POINTING_ERR. Kept so
+    # VXA round-trips and the SC_POINTING_ERR surface are complete. ---
+    max_temp_fact_change: Any = 0.00015
+    max_stiffness_change: Any = 0.00015
+    min_elastic_mod: Any = 5e6
+    max_elastic_mod: Any = 5e8
+    kp: Any = 3.0  # sim-level PID defaults (VX_Sim.cpp:36-38)
+    ki: Any = 0.001
+    antiwindup: Any = 0.5
+    max_kp: Any = 5.0
+    max_ki: Any = 1.0
+    max_antiwindup: Any = 1.0
+    error_threshold: Any = 0.1
+    threshold_time: Any = 2.0
+
     # static feature switches (reference: VXSFEAT_* flags, VX_Sim.h)
     self_collisions_enabled: bool = struct.field(pytree_node=False, default=False)
     max_velocity_enabled: bool = struct.field(pytree_node=False, default=False)
@@ -79,6 +99,8 @@ class EnvParams:
     """
 
     grav_acc: Any = -9.81
+    # parsed/serialized for VXA round-trip parity; the reference engine
+    # never reads this tag (only tools/read_write_voxelyze.py:144 writes it)
     floor_slope: Any = 0.0
     temp_base: Any = 25.0
     temp_amplitude: Any = 39.0  # base.py temp_amp default
@@ -266,6 +288,16 @@ class VoxelBody:
     yield_stress: Any = None  # (X,Y,Z)
     mat_temp_phase: Any = None  # (X,Y,Z) per-material temperature phase [rad]
     mat_model_vox: Any = None  # (X,Y,Z) int32 MDL_* id
+
+    # per-voxel evolved-control parameter arrays (reference:
+    # VXS_Voxel.h:105-110, populated at import VX_Sim.cpp:977-991).
+    # Dormant in the reference's live dynamics (the PID pointing loop is
+    # commented out; plasticity rate feeds GUI coloring) but part of the
+    # genome surface, so they round-trip through VXA and are exposed here.
+    stiffness_plasticity_rate: Any = None  # (X,Y,Z)
+    kp: Any = None  # (X,Y,Z)
+    ki: Any = None  # (X,Y,Z)
+    antiwindup: Any = None  # (X,Y,Z)
 
     # volume-effects bond constants (reference: VX_Bond.cpp:90-97;
     # Eh = E/((1-2u)(1+u)) with composite E, u)

@@ -143,6 +143,10 @@ class VXADocument:
             temp_amp_damp=arr.get("tempampdamp"),
             final_temp_amp_damp=arr.get("finaltempampdamp"),
             stiffness=arr.get("stiffness"),
+            stiffness_plasticity_rate=arr.get("stiffnessplasticityrate"),
+            kp=arr.get("kp"),
+            ki=arr.get("ki"),
+            antiwindup=arr.get("antiwindup"),
             **devo,
             dof_fixed=dof_fixed,
             external_force=ext_force,
@@ -375,6 +379,15 @@ def load_vxa(path) -> VXADocument:
         mid_life_freeze_time=_text(stop, "MidLifeFreezeTime", 0.0),
         parent_lifetime=_text(sim_el, "ParentLifetime", 0.0),
         min_temp_fact=_text(sim_el, "MinTempFact", 0.1),
+        max_temp_fact_change=_text(sim_el, "MaxTempFactChange", 0.00015),
+        max_stiffness_change=_text(sim_el, "MaxStiffnessChange", 0.00015),
+        min_elastic_mod=_text(sim_el, "MinElasticMod", 5e6),
+        max_elastic_mod=_text(sim_el, "MaxElasticMod", 5e8),
+        max_kp=_text(sim_el, "MaxKP", 5.0),
+        max_ki=_text(sim_el, "MaxKI", 1.0),
+        max_antiwindup=_text(sim_el, "MaxANTIWINDUP", 1.0),
+        error_threshold=_text(sim_el, "ErrorThreshold", 0.1),
+        threshold_time=_text(sim_el, "ThresholdTime", 2.0),
         max_vox_vel_limit=_text(feat, "MaxVoxVelLimit", 0.1),
         self_collisions_enabled=_text(cols, "SelfColEnabled", False, cast=bool),
         collision_horizon=_text(cols, "CollisionHorizon", 2.0),
@@ -681,6 +694,15 @@ def write_vxa(
 <EquilibriumModeEnabled>{int(sim.equilibrium_mode)}</EquilibriumModeEnabled>
 </EquilibriumMode>
 {ga_block}<MinTempFact>{sim.min_temp_fact}</MinTempFact>
+<MaxTempFactChange>{sim.max_temp_fact_change}</MaxTempFactChange>
+<MaxStiffnessChange>{sim.max_stiffness_change}</MaxStiffnessChange>
+<MinElasticMod>{sim.min_elastic_mod}</MinElasticMod>
+<MaxElasticMod>{sim.max_elastic_mod}</MaxElasticMod>
+<MaxKP>{sim.max_kp}</MaxKP>
+<MaxKI>{sim.max_ki}</MaxKI>
+<MaxANTIWINDUP>{sim.max_antiwindup}</MaxANTIWINDUP>
+<ErrorThreshold>{sim.error_threshold}</ErrorThreshold>
+<ThresholdTime>{sim.threshold_time}</ThresholdTime>
 </Simulator>
 <Environment>
 <Fixed_Regions>
