@@ -1,0 +1,213 @@
+"""SQP-style shooting: Gauss–Newton / Levenberg–Marquardt trajectory
+optimization over the rollout actuation channel.
+
+The north-star control layer (SURVEY.md §7; not present in the reference —
+its only optimizer is evolutionary search over phase offsets). The decision
+variable is the same control-knot sequence `u` of shape (K, X, Y, Z) the CEM
+optimizer uses (`control.shooting`): per-voxel scale modulation, exactly the
+thermal-actuation term of VXS_Voxel.cpp:292-305 but free-form in time.
+
+Formulation: nonlinear least squares over a *tracked CoM trajectory*
+
+    r(u) = [ w_track · (Δcm_y(t_i) − target_i)  for trace points t_i,
+             w_reg · u ]
+
+minimized by damped Gauss–Newton: each SQP iteration solves the
+regularized normal equations  (JᵀJ + λI) δ = −Jᵀ r  with **matrix-free
+conjugate gradients** — every Jv is one `jax.jvp` through the rollout scan
+and every Jᵀv one `jax.vjp`, so the Jacobian (n_res × K·X·Y·Z) is never
+materialized. Box constraints on u (actuation range) are handled by
+projection (clip) after each accepted step, making this a projected
+SQP/LM hybrid.
+
+Distribution: everything is jit/vmap-compatible. Under a sharded rollout
+batch (multi-robot joint solves or multi-start), XLA inserts the `psum`
+reductions for the JᵀJ products across the mesh automatically — the "QP
+blocks reduced with psum" design of SURVEY.md §2.4/§5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from evosoro_tpu.core.rollout import init_state, rollout
+from evosoro_tpu.core.types import EnvParams, SimParams, SimState, VoxelBody
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPConfig:
+    num_iters: int = 6  # SQP (outer) iterations
+    cg_iters: int = 8  # CG iterations per subproblem
+    lm_lambda0: float = 1e-2  # initial LM damping
+    lm_up: float = 4.0  # damping growth on rejected steps
+    lm_down: float = 0.5  # damping decay on accepted steps
+    w_track: float = 1.0
+    w_reg: float = 3e-2
+    u_clip: float = 0.2  # actuation box constraint (fraction of voxel size)
+    n_res: int = 16  # number of CoM trace residual points
+
+
+def _tracking_residual(u, body, sim, env, num_steps, dt, state0, target,
+                       config: SQPConfig):
+    """r(u): CoM-y displacement at n_res trace points vs `target` profile,
+    plus control regularization. Differentiable end-to-end (BPTT through the
+    rollout scan; rematerialized)."""
+    trace_every = max(1, num_steps // config.n_res)
+
+    @jax.checkpoint
+    def tracked(u):
+        res = rollout(
+            body, sim, env, num_steps=num_steps, dt=dt, state=state0,
+            control_sequence=u, trace_every=trace_every,
+        )
+        return res.cm_trace[:, 1]
+
+    cm_y = tracked(u)
+    d_cm = (cm_y - cm_y[0]) / body.nominal_size
+    n = d_cm.shape[0]
+    tgt = jnp.asarray(target, d_cm.dtype)
+    if tgt.ndim == 0:
+        # scalar target velocity -> linear displacement ramp over the trace
+        tgt = tgt * jnp.arange(1, n + 1, dtype=d_cm.dtype) / n
+    r_track = config.w_track * (d_cm - tgt)
+    r_reg = config.w_reg * u.ravel()
+    return jnp.concatenate([r_track, r_reg])
+
+
+def _cg(matvec, b, iters):
+    """Plain conjugate gradients on SPD `matvec` (no early exit: fixed trip
+    count keeps it compile-friendly; iters is small)."""
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = jnp.vdot(r, r)
+
+    def body(_, carry):
+        x, r, p, rs = carry
+        ap = matvec(p)
+        denom = jnp.vdot(p, ap)
+        alpha = jnp.where(denom > 0, rs / jnp.where(denom > 0, denom, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.vdot(r, r)
+        beta = jnp.where(rs > 0, rs_new / jnp.where(rs > 0, rs, 1.0), 0.0)
+        p = r + beta * p
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+    return x
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_steps", "num_knots", "config"),
+)
+def sqp_optimize(
+    body: VoxelBody,
+    sim: SimParams,
+    env: EnvParams,
+    num_steps: int,
+    num_knots: int,
+    target=0.5,
+    config: SQPConfig = SQPConfig(),
+    state0: SimState | None = None,
+    dt=None,
+    init_u=None,
+):
+    """Projected Gauss–Newton/LM shooting. Returns (u, info).
+
+    `target`: desired CoM-y displacement profile in lattice units — a scalar
+    (total displacement, tracked as a linear ramp) or an (n_res,) array.
+    """
+    X, Y, Z = body.occ.shape
+    if state0 is None:
+        state0 = init_state(body, volume_effects=sim.volume_effects_enabled)
+    dtype = body.nom_pos.dtype
+    u0 = (jnp.zeros((num_knots, X, Y, Z), dtype) if init_u is None
+          else jnp.asarray(init_u, dtype))
+
+    resid = lambda u: _tracking_residual(  # noqa: E731
+        u, body, sim, env, num_steps, dt, state0, target, config
+    )
+
+    def iteration(carry, _):
+        u, lam, best_cost = carry
+        r, pullback = jax.vjp(resid, u)
+        cost = 0.5 * jnp.vdot(r, r)
+
+        def matvec(v_flat):
+            v = v_flat.reshape(u.shape)
+            _, jv = jax.jvp(resid, (u,), (v,))
+            (jtjv,) = pullback(jv)
+            return jtjv.ravel() + lam * v_flat
+
+        rhs = -pullback(r)[0].ravel()
+        delta = _cg(matvec, rhs, config.cg_iters)
+        u_new = jnp.clip(
+            u + delta.reshape(u.shape), -config.u_clip, config.u_clip
+        )
+
+        r_new = resid(u_new)
+        cost_new = 0.5 * jnp.vdot(r_new, r_new)
+        accept = cost_new < cost
+        u = jnp.where(accept, u_new, u)
+        lam = jnp.where(
+            accept, lam * config.lm_down, lam * config.lm_up
+        )
+        best_cost = jnp.minimum(best_cost, jnp.minimum(cost, cost_new))
+        return (u, lam, best_cost), dict(cost=cost, cost_new=cost_new,
+                                         accepted=accept)
+
+    init = (u0, jnp.asarray(config.lm_lambda0, dtype),
+            jnp.asarray(jnp.inf, dtype))
+    (u, lam, best_cost), trace = jax.lax.scan(
+        iteration, init, None, length=config.num_iters
+    )
+    final_cost = 0.5 * jnp.vdot(resid(u), resid(u))
+    return u, dict(
+        final_cost=final_cost,
+        best_cost=best_cost,
+        cost_trace=trace["cost"],
+        accepted_trace=trace["accepted"],
+        lm_lambda=lam,
+    )
+
+
+def locomotion_sqp(
+    body: VoxelBody,
+    sim: SimParams,
+    env: EnvParams,
+    num_steps: int,
+    num_knots: int,
+    target_dist: float,
+    warm_start_cem: bool = True,
+    key=None,
+    cem_config=None,
+    sqp_config: SQPConfig = SQPConfig(),
+    dt=None,
+):
+    """CEM global search warm-starting the SQP refiner — the production
+    solve pipeline (stochastic search finds the basin, Newton-type steps
+    polish within it; SURVEY.md §7 hard part 5's chaos mitigation)."""
+    init_u = None
+    cem_info = None
+    if warm_start_cem:
+        from evosoro_tpu.control.shooting import CEMConfig, cem_optimize
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        cem_config = cem_config or CEMConfig(num_iters=4, pop_size=32)
+        init_u, cem_info = cem_optimize(
+            key, body, sim, env, num_steps, num_knots, cem_config, dt=dt
+        )
+    u, info = sqp_optimize(
+        body, sim, env, num_steps, num_knots, target=target_dist,
+        config=sqp_config, dt=dt, init_u=init_u,
+    )
+    info["cem"] = cem_info
+    return u, info

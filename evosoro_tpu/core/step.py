@@ -779,7 +779,18 @@ def sim_step(
     total_force = total_force + body.external_force
 
     if env.fluid_environment:
-        total_force = total_force + _fluid_drag(state, body, env, vel)
+        if body.mesh_drag is not None:
+            # reference-accurate facet drag on the deformed surface mesh
+            # (land_water VX_Sim.cpp:1516-1600)
+            from evosoro_tpu.envs.drag import mesh_drag_forces
+
+            total_force = total_force + mesh_drag_forces(
+                state.pos, state.quat, state.scale, state.linmom,
+                body.mass_inv, body.mesh_drag,
+                env.aggregate_drag_coefficient,
+            )
+        else:
+            total_force = total_force + _fluid_drag(state, body, env, vel)
 
     linmom = state.linmom
     floor_on = env.floor_enabled and not env.fluid_environment

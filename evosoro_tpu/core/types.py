@@ -282,6 +282,11 @@ class VoxelBody:
     # optional self-collision tables (core.collision.CollisionSystem)
     collision: Any = None
 
+    # optional deformed-surface-mesh drag tables (envs.drag.MeshDragSystem);
+    # when present, fluid environments use the reference-accurate per-facet
+    # model instead of the voxel-face approximation
+    mesh_drag: Any = None
+
     # nonlinear material model per voxel (reference: VX_Object.cpp:1472-1535
     # GetModelStress; gathered from the palette at build time)
     plastic_mod: Any = None  # (X,Y,Z) bilinear post-yield modulus

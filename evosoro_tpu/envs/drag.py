@@ -1,0 +1,186 @@
+"""Mesh-accurate fluid drag: per-facet quadratic drag on the deformed
+surface mesh (the land_water fork's aquatic model).
+
+Reference: `_voxcad_land_water/Voxelyze/VX_Sim.cpp:1516-1600` — each step the
+deformable surface mesh is updated from voxel poses
+(`UpdateMeshPhysicsOnlyNoColors`, VX_MeshUtil.cpp:368-421: vertex = average
+over its adjacent voxels of pos + R·(corner offset scaled), weight 1.0), then
+for every triangular facet: area from the edge cross product, facet normal,
+the *owner voxel's* velocity projected on the normal (only when the
+velocity-normal angle is < π/2, i.e. v·n > 0), and
+
+    drag = − C_agg · Area · |v_n|² · v̂_n,  accumulated onto the owner voxel
+    (FacetToSIndex linkage, VX_MeshUtil.cpp:192-193).
+
+TPU design: mesh topology is static per design, so it precomputes to gather
+tables (triangle → 3 vertex ids → ≤8 adjacent voxels each, triangle → owner
+voxel); the per-step update is pure gather → elementwise → scatter-add,
+batchable with vmap. `core.step` uses this model when the body carries a
+`MeshDragSystem`, else the voxel-face approximation (`_fluid_drag`)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from evosoro_tpu.core import quaternion as q
+
+# face normal direction, corner-quad (in corner-lattice coords relative to
+# the voxel's min corner) — same winding as the reference's marched surface
+_FACES = [
+    ((+1, 0, 0), [(1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1)]),
+    ((-1, 0, 0), [(0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0)]),
+    ((0, +1, 0), [(0, 1, 0), (0, 1, 1), (1, 1, 1), (1, 1, 0)]),
+    ((0, -1, 0), [(0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1)]),
+    ((0, 0, +1), [(0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]),
+    ((0, 0, -1), [(0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 0)]),
+]
+
+
+@struct.dataclass
+class MeshDragSystem:
+    """Static surface-mesh drag tables for one design (pytree)."""
+
+    # vertices: V surface corners, each averaging <= 8 adjacent voxels
+    vert_vox: Any  # (V, 8) int32 flat voxel index (padded w/ 0)
+    vert_sign: Any  # (V, 8, 3) corner sign (+-1) per adjacent voxel
+    vert_w: Any  # (V, 8) 1.0 for live slots, 0.0 padding
+    # triangles
+    tri_verts: Any  # (T, 3) int32 indices into the vertex arrays
+    tri_owner: Any  # (T,) int32 flat voxel index owning the facet
+    tri_mask: Any  # (T,) bool (False = padding row)
+
+    @property
+    def num_tris(self):
+        return self.tri_verts.shape[0]
+
+
+def build_mesh_drag(structure, pad_tris: int | None = None) -> MeshDragSystem:
+    """Host-side precompute of the surface mesh linkage for one design.
+    `pad_tris` fixes T so heterogeneous designs batch under vmap."""
+    structure = np.asarray(structure)
+    occ = structure > 0
+    X, Y, Z = occ.shape
+    occp = np.pad(occ, 1)
+
+    # --- exposed faces -> triangles (two per quad, owner = the voxel) ---
+    corner_of = {}
+    corners = []
+
+    def corner_id(cx, cy, cz):
+        key = (cx, cy, cz)
+        if key not in corner_of:
+            corner_of[key] = len(corners)
+            corners.append(key)
+        return corner_of[key]
+
+    tri_verts, tri_owner = [], []
+    for (dx, dy, dz), quad in _FACES:
+        exposed = occ & (
+            occp[1 + dx:X + 1 + dx, 1 + dy:Y + 1 + dy, 1 + dz:Z + 1 + dz] == 0
+        )
+        for vx, vy, vz in np.argwhere(exposed):
+            vids = [corner_id(vx + cx, vy + cy, vz + cz) for cx, cy, cz in quad]
+            flat = (vx * Y + vy) * Z + vz
+            tri_verts.append([vids[0], vids[1], vids[2]])
+            tri_verts.append([vids[0], vids[2], vids[3]])
+            tri_owner += [flat, flat]
+
+    T0 = len(tri_verts)
+    T = int(pad_tris) if pad_tris is not None else T0
+    if T < T0:
+        raise ValueError(f"pad_tris={T} < triangle count {T0}")
+    V = len(corners)
+
+    # --- vertex -> adjacent occupied voxels (weight 1 each) ---
+    vert_vox = np.zeros((V, 8), dtype=np.int32)
+    vert_sign = np.zeros((V, 8, 3), dtype=np.int8)
+    vert_w = np.zeros((V, 8), dtype=np.float32)
+    for vi, (cx, cy, cz) in enumerate(corners):
+        k = 0
+        for vx in (cx - 1, cx):
+            for vy in (cy - 1, cy):
+                for vz in (cz - 1, cz):
+                    if 0 <= vx < X and 0 <= vy < Y and 0 <= vz < Z and occ[vx, vy, vz]:
+                        vert_vox[vi, k] = (vx * Y + vy) * Z + vz
+                        vert_sign[vi, k] = (
+                            1 if cx == vx + 1 else -1,
+                            1 if cy == vy + 1 else -1,
+                            1 if cz == vz + 1 else -1,
+                        )
+                        vert_w[vi, k] = 1.0
+                        k += 1
+
+    tv = np.zeros((T, 3), dtype=np.int32)
+    to = np.zeros((T,), dtype=np.int32)
+    tm = np.zeros((T,), dtype=bool)
+    if T0:
+        tv[:T0] = np.asarray(tri_verts, dtype=np.int32)
+        to[:T0] = np.asarray(tri_owner, dtype=np.int32)
+        tm[:T0] = True
+
+    return MeshDragSystem(
+        vert_vox=jnp.asarray(vert_vox),
+        vert_sign=jnp.asarray(vert_sign.astype(np.float32)),
+        vert_w=jnp.asarray(vert_w),
+        tri_verts=jnp.asarray(tv),
+        tri_owner=jnp.asarray(to),
+        tri_mask=jnp.asarray(tm),
+    )
+
+
+def attach_mesh_drag(body, pad_tris: int | None = None):
+    """Return `body` with its MeshDragSystem built and attached."""
+    return body.replace(
+        mesh_drag=build_mesh_drag(np.asarray(body.mat), pad_tris=pad_tris)
+    )
+
+
+def mesh_drag_forces(pos, quat, scale, linmom, mass_inv, sys: MeshDragSystem,
+                     drag_coefficient):
+    """(X,Y,Z,3) drag force field from the deformed surface mesh.
+
+    Replicates the reference per-facet model (land_water VX_Sim.cpp:1524-1581)
+    with vertex positions per UpdateMeshPhysicsOnlyNoColors /
+    GetCurVLoc (VX_MeshUtil.cpp:368-421): vertex = mean over adjacent voxels
+    of  pos + R_vox·(0.5·scale·sign)."""
+    shape3 = pos.shape[:-1]
+    posf = pos.reshape(-1, 3)
+    quatf = quat.reshape(-1, 4)
+    scalef = scale.reshape(-1)
+    velf = (linmom * mass_inv[..., None]).reshape(-1, 3)
+
+    # --- vertex positions ---
+    vvox = sys.vert_vox  # (V, 8)
+    p = posf[vvox]  # (V, 8, 3)
+    qv = quatf[vvox]  # (V, 8, 4)
+    s = scalef[vvox]  # (V, 8)
+    off = 0.5 * s[..., None] * sys.vert_sign  # (V, 8, 3)
+    world = p + q.quat_rotate(qv, off)
+    wsum = jnp.sum(sys.vert_w, axis=1)
+    vpos = jnp.sum(world * sys.vert_w[..., None], axis=1) / jnp.maximum(
+        wsum, 1.0
+    )[..., None]
+
+    # --- facet area / normal / projected owner velocity ---
+    a = vpos[sys.tri_verts[:, 0]]
+    b = vpos[sys.tri_verts[:, 1]]
+    c = vpos[sys.tri_verts[:, 2]]
+    n = jnp.cross(b - a, c - a)  # |n| = 2*Area
+    n_len = jnp.sqrt(jnp.maximum(jnp.sum(n * n, axis=-1), 1e-30))
+    area = 0.5 * n_len
+    n_hat = n / n_len[..., None]
+
+    vel = velf[sys.tri_owner]  # (T, 3)
+    vn = jnp.sum(vel * n_hat, axis=-1)
+    # forward-facing only: angle(v, n) < π/2 ⇔ v·n > 0 (reference: :1560)
+    fwd = sys.tri_mask & (vn > 0)
+    mag = jnp.where(fwd, drag_coefficient * area * vn * vn, 0.0)
+    drag = -mag[..., None] * n_hat  # (T, 3)
+
+    dense = jnp.zeros_like(posf)
+    dense = dense.at[sys.tri_owner].add(drag)
+    return dense.reshape(shape3 + (3,))

@@ -1,0 +1,1148 @@
+"""Fused multi-step rollout kernel (Pallas, TPU).
+
+This is the speed-of-light path for the headline workload: thousands of
+concurrent soft-body rollouts (reference: one `voxelyze` process per robot,
+voxelyzeMain/main.cpp:89-131) with the *default* engine feature set — linear
+materials, beam bonds with small/large-angle hysteresis + critical damping,
+floor contact with Coulomb friction, gravity, thermal sinusoidal actuation,
+divergence + stop-time freezing (reference hot path: VX_Sim.cpp:1763
+Integrate → VXS_BondInternal.cpp:56 CalcLinForce → VXS_Voxel.cpp:169
+EulerStep). Feature combinations outside this envelope (volume effects,
+self-collision, growth/devo, fluid drag, …) use the general jnp stencil in
+`core.step` — `supports()` reports whether a (body, sim, env) config can run
+here.
+
+Why a kernel at all: the jnp scan streams ~50 state floats per voxel through
+HBM **every step**. This kernel keeps the whole simulation state VMEM-resident
+across all timesteps — HBM traffic is one state read + one write per rollout
+(amortized over thousands of steps), turning the rollout from bandwidth-bound
+to VPU-compute-bound.
+
+Layout ("channel-major"): every per-voxel quantity is a channel of a packed
+array `(B, C, Vp)` — B robots (grid axis, `batch_block` robots per Pallas
+program), C channels on sublanes, Vp = voxels flattened x-major and padded to
+a multiple of 128 on lanes. All physics ops are then full-width (8,128) VPU
+tiles; the 3D stencil's 6 neighbor reads become static lane rotations by
+{Y·Z, Z, 1}. Per-robot scalars (sim time, divergence latch, CoM capture —
+the rollout bookkeeping of core/rollout.py) ride a small `(B, 16)` stats
+array.
+
+The numerics replicate `core.step.sim_step` (itself validated bit-exact
+against the reference engine) in f32; parity tests run the kernel in
+interpreter mode on CPU against the jnp step.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from evosoro_tpu.core.constants import (
+    DEFAULT_PRECISION,
+    DIVERGENCE_STRAIN,
+    HYSTERESIS_FACTOR,
+    REF_PI_FLOAT,
+    SA_BOND_EXT_PERC,
+    Precision,
+)
+from evosoro_tpu.core.types import EnvParams, SimParams, SimState, VoxelBody
+
+# ---------------------------------------------------------------------------
+# Channel maps
+# ---------------------------------------------------------------------------
+
+# state channels (C_S = 48)
+_POS = 0  # 0..2
+_QUAT = 3  # 3..6 (w,x,y,z)
+_LIN = 7  # 7..9
+_ANG = 10  # 10..12
+_SCALE = 13
+_SMALL = 14  # 14..16 per direction
+_LP2 = 17  # 17..25  last_pos2[d*3 + c]
+_LA1 = 26  # 26..34
+_LA2 = 35  # 35..43
+_MAXS = 44  # 44..46
+C_S = 48
+
+# body channels (C_B = 72)
+_B_OCC = 0
+_B_MASS = 1
+_B_MASS_INV = 2
+_B_INERTIA_INV = 3
+_B_2SQ_MEXS = 4
+_B_2SQ_IEXSSS = 5
+_B_LIN_STIFF = 6
+_B_US = 7
+_B_UD = 8
+_B_CTE = 9
+_B_PHASE = 10
+_B_AMPDAMP = 11
+_B_DIR = 12  # per-direction block of _B_PER_DIR channels
+_B_PER_DIR = 20
+# within a direction block:
+_D_MASK = 0
+_D_HOM = 1
+_D_E1 = 2
+_D_E2 = 3
+_D_E = 4
+_D_A2 = 5
+_D_B1 = 6
+_D_B2 = 7
+_D_B3 = 8
+_D_DA1M1 = 9
+_D_DA1M2 = 10
+_D_DA2I1 = 11
+_D_DA2I2 = 12
+_D_DB1M1 = 13
+_D_DB1M2 = 14
+_D_DB2FM1 = 15
+_D_DB2FM2 = 16
+_D_DB3I1 = 17
+_D_DB3I2 = 18
+C_B = _B_DIR + 3 * _B_PER_DIR  # 72
+
+# stats channels (lane-padded to 16)
+_S_TIME = 0
+_S_DIV = 1
+_S_DT = 2
+_S_INICM = 3  # 3..5
+_S_CAPT = 6
+_S_INV_MASS = 7
+_S_STOP = 8
+# per-robot environment scalars (heterogeneous envs across a batch — the
+# evaluator's per-individual env_kws / actuation-variance jitter)
+_S_TAMP = 9  # temp amplitude (f32-quantized, VXS_Voxel.h:109)
+_S_TPER = 10  # temp period (f32-quantized)
+_S_INITCM = 11  # init_cm_time (actuation + CoM capture onset)
+_S_GRAV = 12  # gravitational acceleration
+_S_MINTF = 13  # min_temp_fact (scale lower bound / nominal)
+_S_GAMP = 14  # growth amplitude (scale upper bound - 1)
+C_STAT = 16
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# Component-tuple math helpers (all operate on (b, Vp) f32 arrays)
+# ---------------------------------------------------------------------------
+
+
+def _safe_div(a, b):
+    nz = b != 0
+    return jnp.where(nz, a / jnp.where(nz, b, 1.0), 0.0)
+
+
+def _safe_norm2(x, y):
+    sq = x * x + y * y
+    nz = sq > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+
+
+def _safe_norm3(x, y, z):
+    sq = x * x + y * y + z * z
+    nz = sq > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+
+
+def _acos(x):
+    """arccos via the Abramowitz–Stegun 4.4.46 minimax polynomial
+    (|err| <= 2e-8, i.e. below f32 resolution): Mosaic has no inverse-trig
+    primitives, so the kernel carries its own.
+    acos(x) = sqrt(1-x)·P(x) on [0,1]; acos(-x) = π - acos(x)."""
+    ax = jnp.abs(x)
+    p = -0.0012624911
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * ax + c
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x >= 0, r, math.pi - r)
+
+
+def _qmul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    )
+
+
+def _qconj(q):
+    w, x, y, z = q
+    return (w, -x, -y, -z)
+
+
+def _qrot_inv(q, v):
+    """Rotate v by the inverse of q (reference: Vec3D.h RotateVec3DInv)."""
+    w, x, y, z = q
+    fx, fy, fz = v
+    tw = x * fx + y * fy + z * fz
+    tx = w * fx - y * fz + z * fy
+    ty = w * fy + x * fz - z * fx
+    tz = w * fz - x * fy + y * fx
+    return (
+        tw * x + tx * w + ty * z - tz * y,
+        tw * y - tx * z + ty * w + tz * x,
+        tw * z + tx * y - ty * x + tz * w,
+    )
+
+
+def _qnorm_fast(q):
+    """Normalize; snap to identity when w>=1 (reference: Vec3D.h:243-246)."""
+    w, x, y, z = q
+    l2 = w * w + x * x + y * y + z * z
+    li = jnp.where(l2 > 0, 1.0 / jnp.sqrt(jnp.where(l2 > 0, l2, 1.0)), 1.0)
+    w, x, y, z = w * li, x * li, y * li, z * li
+    snap = w >= 1.0
+    return (
+        jnp.where(snap, 1.0, w),
+        jnp.where(snap, 0.0, x),
+        jnp.where(snap, 0.0, y),
+        jnp.where(snap, 0.0, z),
+    )
+
+
+def _q_to_rotvec(q, prec: Precision):
+    """Log map with the reference's acos≈sqrt fast path (Vec3D.h:270-283)."""
+    w, x, y, z = q
+    sq_len = 1.0 - w * w
+    wc = jnp.minimum(w, 1.0)
+    pos = sq_len > 0
+    inv_sqrt = 1.0 / jnp.sqrt(jnp.where(pos, sq_len, 1.0))
+    fast_sel = sq_len < prec.sl_thresh_acos2sqrt
+    fast_arg = jnp.where(pos & fast_sel, jnp.maximum(2.0 - 2.0 * wc, 0.0), 1.0)
+    scale_fast = 2.0 * jnp.sqrt(fast_arg) * inv_sqrt
+    slow_arg = jnp.where(pos & ~fast_sel, jnp.clip(wc, -1.0, 1.0), 0.0)
+    scale_slow = 2.0 * _acos(slow_arg) * inv_sqrt
+    scale = jnp.where(fast_sel, scale_fast, scale_slow)
+    scale = jnp.where(pos, scale, 2.0)
+    return (x * scale, y * scale, z * scale)
+
+
+def _q_from_angle_to_pos_x(v, prec: Precision):
+    """Quaternion rotating v onto +X (reference: Vec3D.h:208-238)."""
+    vx, vy, vz = v
+    safe_vx = jnp.where(vx != 0, vx, 1.0)
+    y_over_x = vy / safe_vx
+    z_over_x = vz / safe_vx
+    small = (
+        (jnp.abs(y_over_x) < prec.small_angle_rad)
+        & (jnp.abs(z_over_x) < prec.small_angle_rad)
+        & (vx != 0)
+    )
+
+    qs_y = 0.5 * z_over_x
+    qs_z = -0.5 * y_over_x
+    qs_w = 1.0 + 0.5 * (-qs_y * qs_y - qs_z * qs_z)
+
+    norm2 = vx * vx + vy * vy + vz * vz
+    inv_norm = jnp.where(
+        norm2 > 0, 1.0 / jnp.sqrt(jnp.where(norm2 > 0, norm2, 1.0)), 0.0
+    )
+    nx, ny, nz = vx * inv_norm, vy * inv_norm, vz * inv_norm
+    nx_g = jnp.where(small, 0.0, jnp.clip(nx, -1.0, 1.0))
+    theta = _acos(nx_g)
+    yz2 = nz * nz + ny * ny
+    axis_mag_inv = 1.0 / jnp.sqrt(jnp.where(yz2 > 0, yz2, 1.0))
+    half = 0.5 * theta
+    s = jnp.sin(half)
+    qg_w = jnp.cos(half)
+    qg_y = nz * axis_mag_inv * s
+    qg_z = -ny * axis_mag_inv * s
+    anti = theta > (math.pi - prec.discard_angle_rad)
+    qg_w = jnp.where(anti, 0.0, qg_w)
+    qg_y = jnp.where(anti, 1.0, qg_y)
+    qg_z = jnp.where(anti, 0.0, qg_z)
+
+    w = jnp.where(small, qs_w, qg_w)
+    y = jnp.where(small, qs_y, qg_y)
+    z = jnp.where(small, qs_z, qg_z)
+
+    zero_in = norm2 == 0
+    w = jnp.where(zero_in, 1.0, w)
+    y = jnp.where(zero_in, 0.0, y)
+    z = jnp.where(zero_in, 0.0, z)
+    return (w, jnp.zeros_like(w), y, z)
+
+
+def _to_x(d, v):
+    """Rotate vector components so bond axis d looks like +X
+    (reference: VX_Bond.h:45-48 ToXDirBond)."""
+    x, y, z = v
+    if d == 0:
+        return (x, y, z)
+    if d == 1:
+        return (y, -x, z)
+    return (z, y, -x)
+
+
+def _to_orig(d, v):
+    x, y, z = v
+    if d == 0:
+        return (x, y, z)
+    if d == 1:
+        return (-y, x, z)
+    return (-z, y, x)
+
+
+def _roll_nbr(a, stride):
+    """Value at the +d neighbor (flat stride along lanes); wrapped entries
+    are masked by the bond mask downstream."""
+    return jnp.roll(a, -stride, axis=1)
+
+
+def _roll_from_nbr(a, stride):
+    return jnp.roll(a, stride, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Kernel body
+# ---------------------------------------------------------------------------
+
+
+def _bond_dir(d, stride, st, body_at, scalars, prec: Precision):
+    """Port of core.step._bond_axis_forces for one lattice direction on
+    (b, Vp) component arrays. Returns force/moment/memory dict."""
+    L = scalars["L"]
+    dt = scalars["dt"]  # (b, 1)
+    bondz = 0.5 * scalars["bond_damping_z"]
+
+    bd = lambda k: body_at(_B_DIR + d * _B_PER_DIR + k)  # noqa: E731
+    mask = bd(_D_MASK) > 0.5
+
+    pos = st["pos"]
+    quat = st["quat"]
+    rel = _to_x(d, tuple(_roll_nbr(p, stride) - p for p in pos))
+    q1 = (quat[0],) + _to_x(d, quat[1:])
+    qn = tuple(_roll_nbr(q, stride) for q in quat)
+    q2 = (qn[0],) + _to_x(d, qn[1:])
+
+    ang1_rel = _qrot_inv(q1, rel)
+    new_ang2 = _qmul(_qconj(q1), q2)
+
+    scale = st["scale"]
+    nom_dist = (scale + _roll_nbr(scale, stride)) * 0.5
+
+    rx, ry, rz = ang1_rel
+    small_turn = _safe_div(jnp.abs(rz) + jnp.abs(ry), rx)
+    extend_perc = _safe_div(rx, nom_dist)
+
+    sa_prev = st["small"][d]
+    go_small = (
+        (~sa_prev)
+        & (new_ang2[0] > prec.small_angle_w)
+        & (small_turn < prec.sa_bond_bend_rad)
+        & (extend_perc < SA_BOND_EXT_PERC)
+    )
+    go_large = sa_prev & (
+        (~(new_ang2[0] > prec.smallish_angle_w))
+        | (small_turn > HYSTERESIS_FACTOR * prec.sa_bond_bend_rad)
+        | (extend_perc > HYSTERESIS_FACTOR * SA_BOND_EXT_PERC)
+    )
+    # (boolean algebra, not select: Mosaic has no i1-vector select_n;
+    # go_small implies ~sa_prev and go_large implies sa_prev, so this is
+    # exactly where(go_small, T, where(go_large, F, sa_prev)))
+    small = go_small | (sa_prev & ~go_large)
+    changed = go_small | go_large
+
+    # small-angle frame (reference: VXS_BondInternal.cpp:87-100)
+    a2_small = _q_to_rotvec(new_ang2, prec)
+    pos2_small = (rx - nom_dist, ry, rz)
+    totrot_small = _qconj(q1)
+
+    # large-angle frame (reference: :101-118)
+    p2ar = _q_from_angle_to_pos_x(ang1_rel, prec)
+    totrot_large = _qmul(p2ar, _qconj(q1))
+    length = _safe_norm3(*rel)
+    zeros = jnp.zeros_like(length)
+    pos2_large = (length - nom_dist, zeros, zeros)
+    a1_large = _q_to_rotvec(p2ar, prec)
+    a2_large = _q_to_rotvec(_qmul(totrot_large, q2), prec)
+
+    sel = lambda a, b: jnp.where(small, a, b)  # noqa: E731
+    _pos2 = tuple(sel(a, b) for a, b in zip(pos2_small, pos2_large))
+    _a1 = tuple(sel(jnp.zeros_like(a), a) for a in a1_large)
+    _a2 = tuple(sel(a, b) for a, b in zip(a2_small, a2_large))
+    totrot = tuple(sel(a, b) for a, b in zip(totrot_small, totrot_large))
+
+    # axial strain & linear two-material stress (reference: :189-307; the
+    # all-linear fixed point of the stress equalization loop — core.step's
+    # `all_linear` branch)
+    strain = _pos2[0] / L
+    E1, E2, E = bd(_D_E1), bd(_D_E2), bd(_D_E)
+    s_sum = E1 + E2
+    near_equal = jnp.abs(E1 - E2) <= 0.0005 * jnp.abs(s_sum)
+    hom = (bd(_D_HOM) > 0.5) | near_equal
+    stress = jnp.where(hom, 0.5 * s_sum * strain, E * strain)
+
+    max_strain = jnp.maximum(st["maxs"][d], strain)
+
+    # beam forces/moments in the bond frame (reference: :122-154)
+    b1, b2, b3, a2c = bd(_D_B1), bd(_D_B2), bd(_D_B3), bd(_D_A2)
+    cs_area = L * L
+    p2y, p2z = _pos2[1], _pos2[2]
+    a1x, a1y, a1z = _a1
+    a2x, a2y, a2z = _a2
+
+    f1 = (
+        stress * cs_area,
+        b1 * p2y - b2 * (a1z + a2z),
+        b1 * p2z + b2 * (a1y + a2y),
+    )
+    f2 = tuple(-c for c in f1)
+    m1 = (
+        a2c * (a1x - a2x),
+        b2 * p2z + b3 * (2.0 * a1y + a2y),
+        -b2 * p2y + b3 * (2.0 * a1z + a2z),
+    )
+    m2 = (
+        a2c * (a2x - a1x),
+        b2 * p2z + b3 * (a1y + 2.0 * a2y),
+        -b2 * p2y + b3 * (a1z + 2.0 * a2z),
+    )
+
+    # critical damping from frame-state memory (reference: :310-346)
+    dt_inv = _safe_div(jnp.ones_like(dt), dt)
+    lp2 = st["lp2"][d]
+    la1 = st["la1"][d]
+    la2 = st["la2"][d]
+    rv = tuple((p - lp) * dt_inv for p, lp in zip(_pos2, lp2))
+    rav1 = tuple((a - la) * dt_inv for a, la in zip(_a1, la1))
+    rav2 = tuple((a - la) * dt_inv for a, la in zip(_a2, la2))
+    rvx, rvy, rvz = rv
+    sum_avz = rav1[2] + rav2[2]
+    sum_avy = rav1[1] + rav2[1]
+    dmp = (~changed) & (dt > 0)
+
+    df1 = (
+        bondz * (bd(_D_DA1M1) * rvx),
+        bondz * (bd(_D_DB1M1) * rvy - bd(_D_DB2FM1) * sum_avz),
+        bondz * (bd(_D_DB1M1) * rvz + bd(_D_DB2FM1) * sum_avy),
+    )
+    df2 = (
+        bondz * (-bd(_D_DA1M2) * rvx),
+        bondz * (-bd(_D_DB1M2) * rvy + bd(_D_DB2FM2) * sum_avz),
+        bondz * (-bd(_D_DB1M2) * rvz - bd(_D_DB2FM2) * sum_avy),
+    )
+    davx = rav2[0] - rav1[0]
+    hbz = 0.5 * bondz
+    dm1 = (
+        hbz * (-bd(_D_DA2I1) * davx),
+        hbz * (bd(_D_DB2FM1) * rvz + bd(_D_DB3I1) * (2.0 * rav1[1] + rav2[1])),
+        hbz * (-bd(_D_DB2FM1) * rvy + bd(_D_DB3I1) * (2.0 * rav1[2] + rav2[2])),
+    )
+    dm2 = (
+        hbz * (bd(_D_DA2I2) * davx),
+        hbz * (bd(_D_DB2FM2) * rvz + bd(_D_DB3I2) * (rav1[1] + 2.0 * rav2[1])),
+        hbz * (-bd(_D_DB2FM2) * rvy + bd(_D_DB3I2) * (rav1[2] + 2.0 * rav2[2])),
+    )
+    add = lambda f, df: tuple(  # noqa: E731
+        a + jnp.where(dmp, b, 0.0) for a, b in zip(f, df)
+    )
+    f1, f2, m1, m2 = add(f1, df1), add(f2, df2), add(m1, dm1), add(m2, dm2)
+
+    # back to world frame (reference: :159-170)
+    f1 = _to_orig(d, _qrot_inv(totrot, f1))
+    f2 = _to_orig(d, _qrot_inv(totrot, f2))
+    m1 = _to_orig(d, _qrot_inv(totrot, m1))
+    m2 = _to_orig(d, _qrot_inv(totrot, m2))
+
+    msk = lambda v: tuple(jnp.where(mask, c, 0.0) for c in v)  # noqa: E731
+    f1, f2, m1, m2 = msk(f1), msk(f2), msk(m1), msk(m2)
+
+    # damping memory goes stale for one step on a hysteresis transition
+    # (reference: AddDampForces skipped when `changed` — VXS_BondInternal.cpp:344)
+    keepv = lambda old, new: tuple(  # noqa: E731
+        jnp.where(mask, jnp.where(changed, o, n), 0.0)
+        for o, n in zip(old, new)
+    )
+    return dict(
+        f1=f1,
+        f2=f2,
+        m1=m1,
+        m2=m2,
+        strain=jnp.where(mask, strain, 0.0),
+        small=(mask & small) | (~mask & sa_prev),
+        lp2=keepv(lp2, _pos2),
+        la1=keepv(la1, _a1),
+        la2=keepv(la2, _a2),
+        maxs=jnp.where(mask, max_strain, 0.0),
+    )
+
+
+def _make_kernel(
+    X: int,
+    Y: int,
+    Z: int,
+    Vp: int,
+    num_steps: int,
+    scalars_static: dict,
+    flags: dict,
+    prec: Precision,
+    n_knots: int,
+):
+    """Build the kernel body closure. `scalars_static` holds python-float
+    physics constants baked into the trace; `flags` holds static feature
+    booleans (floor/gravity/temp/sticky/control)."""
+    strides = (Y * Z, Z, 1)
+
+    def kernel(*refs):
+        if n_knots:
+            state_in, body_ref, stats_in, ctrl_ref, state_out, stats_out = refs
+        else:
+            state_in, body_ref, stats_in, state_out, stats_out = refs
+            ctrl_ref = None
+
+        f32 = state_in.dtype
+
+        def body_at(k):
+            return body_ref[:, k, :]
+
+        sc = dict(scalars_static)
+        L = sc["L"]
+
+        # ---- load state into carry tuples ----
+        def ch(k):
+            return state_in[:, k, :]
+
+        pos0 = tuple(ch(_POS + c) for c in range(3))
+        quat0 = tuple(ch(_QUAT + c) for c in range(4))
+        lin0 = tuple(ch(_LIN + c) for c in range(3))
+        ang0 = tuple(ch(_ANG + c) for c in range(3))
+        scale0 = ch(_SCALE)
+        # masks ride the loop carry as f32 0/1 — Mosaic cannot carry
+        # i1 vectors through scf.for
+        small0 = tuple(ch(_SMALL + d) for d in range(3))
+        lp20 = tuple(tuple(ch(_LP2 + 3 * d + c) for c in range(3)) for d in range(3))
+        la10 = tuple(tuple(ch(_LA1 + 3 * d + c) for c in range(3)) for d in range(3))
+        la20 = tuple(tuple(ch(_LA2 + 3 * d + c) for c in range(3)) for d in range(3))
+        maxs0 = tuple(ch(_MAXS + d) for d in range(3))
+
+        def stat(k):
+            return stats_in[:, k:k + 1]  # (b, 1)
+
+        t0 = stat(_S_TIME)
+        div0 = stat(_S_DIV)
+        dt = stat(_S_DT)
+        ini0 = tuple(stat(_S_INICM + c) for c in range(3))
+        capt0 = stat(_S_CAPT)
+        inv_mass_tot = stat(_S_INV_MASS)
+        stop_t = stat(_S_STOP)
+        tamp = stat(_S_TAMP)
+        tper = stat(_S_TPER)
+        init_cm = stat(_S_INITCM)
+        grav = stat(_S_GRAV)
+        min_tf = stat(_S_MINTF)
+        gamp = stat(_S_GAMP)
+
+        occ = body_at(_B_OCC) > 0.5
+        mass = body_at(_B_MASS)
+        mass_inv = body_at(_B_MASS_INV)
+        inertia_inv = body_at(_B_INERTIA_INV)
+        two_sq_mexs = body_at(_B_2SQ_MEXS)
+        two_sq_iexsss = body_at(_B_2SQ_IEXSSS)
+        lin_stiffness = body_at(_B_LIN_STIFF)
+        u_static = body_at(_B_US)
+        u_dynamic = body_at(_B_UD)
+        cte = body_at(_B_CTE)
+        phase = body_at(_B_PHASE)
+        amp_damp = body_at(_B_AMPDAMP)
+
+        if ctrl_ref is not None:
+            ctrl_all = ctrl_ref[:, :, :]  # (b, K, Vp), VMEM-resident
+
+        sc_scalars = dict(sc, dt=dt)
+
+        def step(i, carry):
+            (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
+             t, div_f, ini, capt_f) = carry
+            small = tuple(sf > 0.5 for sf in small_f)
+            div = div_f > 0.5
+            capt = capt_f > 0.5
+
+            # ---- rollout bookkeeping at the top of the step (reference:
+            # VX_Sim.cpp:1064-1075 — IniCM capture from the previous step's
+            # positions) ----
+            cm = tuple(
+                jnp.sum(p * mass, axis=1, keepdims=True) * inv_mass_tot
+                for p in pos
+            )
+            # seed with the step-0 CoM so never-captured rollouts report the
+            # initial CoM, matching core.rollout's carry initialization
+            capture = (~capt) & (t > init_cm)
+            take = capture | ((i == 0) & ~capt)
+            ini = tuple(jnp.where(take, c, i0) for c, i0 in zip(cm, ini))
+            capt = capt | capture
+
+            frozen = div | (t >= stop_t)
+
+            st = dict(
+                pos=pos, quat=quat, scale=scale, small=small,
+                lp2=lp2, la1=la1, la2=la2, maxs=maxs,
+            )
+
+            # ---- bond pass ----
+            bonds = [
+                _bond_dir(d, strides[d], st, body_at, sc_scalars, prec)
+                for d in range(3)
+            ]
+
+            div_now = jnp.zeros_like(div)
+            for d in range(3):
+                smax = jnp.max(jnp.abs(bonds[d]["strain"]), axis=1, keepdims=True)
+                div_now = div_now | (smax > DIVERGENCE_STRAIN)
+
+            # ---- per-voxel force accumulation (VXS_Voxel.cpp:482-651) ----
+            vel = tuple(l * mass_inv for l in lin)
+            tf = [
+                -sc["slow_damping_z"] * v * two_sq_mexs for v in vel
+            ]
+            for d in range(3):
+                for c in range(3):
+                    tf[c] = (
+                        tf[c]
+                        + bonds[d]["f1"][c]
+                        + _roll_from_nbr(bonds[d]["f2"][c], strides[d])
+                    )
+            if flags["gravity"]:
+                tf[2] = tf[2] + mass * grav
+
+            lin = list(lin)
+            vel = list(vel)
+            if flags["floor"]:
+                # floor contact + Coulomb friction (VXS_Voxel.cpp:677-758)
+                pen = 0.5 * scale - pos[2]
+                pen = jnp.where(pen > 0, pen, 0.0)
+                contact = pen > 0
+                normal_force = lin_stiffness * pen
+                fz = normal_force - sc["col_damping_z"] * two_sq_mexs * vel[2]
+                fz = jnp.where(contact, fz, 0.0)
+
+                static_flag = jnp.zeros_like(contact)
+                if flags["sticky"]:
+                    stick = contact
+                    lin[0] = jnp.where(stick, 0.0, lin[0])
+                    lin[1] = jnp.where(stick, 0.0, lin[1])
+                    vel[0] = jnp.where(stick, 0.0, vel[0])
+                    vel[1] = jnp.where(stick, 0.0, vel[1])
+                    static_flag = static_flag | stick
+
+                vx, vy = vel[0], vel[1]
+                stopped = (vx == 0.0) & (vy == 0.0)
+                surface_vel = _safe_norm2(vx, vy)
+                surface_force = _safe_norm2(tf[0], tf[1])
+                dyn_fric = u_dynamic * normal_force
+                static_flag = static_flag | (
+                    contact & stopped & (surface_force < u_static * normal_force)
+                )
+                moving = contact & ~stopped
+                keeps_moving = dyn_fric * dt < mass * surface_vel
+                inv_sv = _safe_div(jnp.ones_like(surface_vel), surface_vel)
+                fric_x = -vx * inv_sv * dyn_fric
+                fric_y = -vy * inv_sv * dyn_fric
+                fx = jnp.where(moving & keeps_moving, fric_x, 0.0)
+                fy = jnp.where(moving & keeps_moving, fric_y, 0.0)
+                stopping = moving & ~keeps_moving
+                static_flag = static_flag | stopping
+                lin[0] = jnp.where(stopping, 0.0, lin[0])
+                lin[1] = jnp.where(stopping, 0.0, lin[1])
+
+                tf[0] = jnp.where(static_flag, 0.0, tf[0] + fx)
+                tf[1] = jnp.where(static_flag, 0.0, tf[1] + fy)
+                tf[2] = tf[2] + fz
+
+            tf = [jnp.where(occ, f, 0.0) for f in tf]
+
+            # ---- linear integration (VXS_Voxel.cpp:181-197) ----
+            lin = [l + f * dt for l, f in zip(lin, tf)]
+            pos = tuple(p + l * (dt * mass_inv) for p, l in zip(pos, lin))
+
+            # ---- moments + angular integration (VXS_Voxel.cpp:653-675,
+            # 202-215) ----
+            tm = [jnp.zeros_like(pos[0]) for _ in range(3)]
+            for d in range(3):
+                for c in range(3):
+                    tm[c] = (
+                        tm[c]
+                        - bonds[d]["m1"][c]
+                        - _roll_from_nbr(bonds[d]["m2"][c], strides[d])
+                    )
+            tm = [jnp.where(occ, m, 0.0) for m in tm]
+            ang_fact = (
+                1.0
+                - 10.0 * sc["slow_damping_z"] * inertia_inv * two_sq_iexsss * dt
+            )
+            ang = tuple((a + m * dt) * ang_fact for a, m in zip(ang, tm))
+
+            av = tuple(a * inertia_inv for a in ang)
+            spin = tuple(
+                0.5 * s for s in _qmul((jnp.zeros_like(av[0]),) + av, quat)
+            )
+            quat = _qnorm_fast(tuple(q + s * dt for q, s in zip(quat, spin)))
+
+            # ---- actuation (VXS_Voxel.cpp:292-341, fast path: no devo) ----
+            if flags["temp"]:
+                t_over_period = _safe_div(t, tper)
+                ctrl = (
+                    amp_damp
+                    * (tamp * jnp.sin(2.0 * REF_PI_FLOAT * (t_over_period + phase)))
+                    * cte
+                )
+                ctrl = jnp.where((t >= init_cm) & (tper != 0), ctrl, 0.0)
+            else:
+                ctrl = jnp.zeros_like(scale)
+
+            last = scale
+            curr = ctrl * L + L
+            min_scale = min_tf * L
+            max_scale = (1.0 + gamp) * L
+            curr = jnp.where((curr < last) & (curr < min_scale), last, curr)
+            curr = jnp.where((curr > last) & (curr > max_scale), last, curr)
+            scale_new = jnp.where(occ, curr, L)
+            if ctrl_ref is not None:
+                # MPC channel applied after the clamps, as in core.step
+                knot = jnp.minimum(i * n_knots // num_steps, n_knots - 1)
+                u = jax.lax.dynamic_index_in_dim(
+                    ctrl_all, knot, axis=1, keepdims=False
+                )
+                scale_new = scale_new + jnp.where(occ, u * L, 0.0)
+
+            # ---- freeze (divergence latch / per-rollout stop time;
+            # reference aborts: VX_Sim.cpp:1774-1777) ----
+            fz = lambda old, new: jnp.where(frozen, old, new)  # noqa: E731
+            fzt = lambda old, new: tuple(  # noqa: E731
+                jnp.where(frozen, o, n) for o, n in zip(old, new)
+            )
+            carry_new = (
+                fzt(carry[0], pos),
+                fzt(carry[1], quat),
+                fzt(carry[2], tuple(lin)),
+                fzt(carry[3], ang),
+                fz(carry[4], scale_new),
+                tuple(
+                    ((frozen & o) | (~frozen & bonds[d]["small"])).astype(f32)
+                    for d, o in enumerate(small)
+                ),
+                tuple(fzt(carry[6][d], bonds[d]["lp2"]) for d in range(3)),
+                tuple(fzt(carry[7][d], bonds[d]["la1"]) for d in range(3)),
+                tuple(fzt(carry[8][d], bonds[d]["la2"]) for d in range(3)),
+                tuple(
+                    jnp.where(frozen, o, bonds[d]["maxs"])
+                    for d, o in enumerate(carry[9])
+                ),
+                fz(t, t + dt),
+                (div | (~frozen & div_now)).astype(f32),
+                ini,
+                capt.astype(f32),
+            )
+            return carry_new
+
+        carry = (pos0, quat0, lin0, ang0, scale0, small0, lp20, la10, la20,
+                 maxs0, t0, div0, ini0, capt0)
+        carry = jax.lax.fori_loop(0, num_steps, step, carry)
+        (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
+         t, div_f, ini, capt_f) = carry
+
+        # ---- write back ----
+        for c in range(3):
+            state_out[:, _POS + c, :] = pos[c]
+        for c in range(4):
+            state_out[:, _QUAT + c, :] = quat[c]
+        for c in range(3):
+            state_out[:, _LIN + c, :] = lin[c]
+        for c in range(3):
+            state_out[:, _ANG + c, :] = ang[c]
+        state_out[:, _SCALE, :] = scale
+        for d in range(3):
+            state_out[:, _SMALL + d, :] = small_f[d]
+            state_out[:, _MAXS + d, :] = maxs[d]
+            for c in range(3):
+                state_out[:, _LP2 + 3 * d + c, :] = lp2[d][c]
+                state_out[:, _LA1 + 3 * d + c, :] = la1[d][c]
+                state_out[:, _LA2 + 3 * d + c, :] = la2[d][c]
+        # pad channel (47) must be written for a fully-defined output
+        state_out[:, C_S - 1, :] = jnp.zeros_like(scale)
+
+        stats_out[:, :] = stats_in[:, :]
+        stats_out[:, _S_TIME:_S_TIME + 1] = t
+        stats_out[:, _S_DIV:_S_DIV + 1] = div_f
+        for c in range(3):
+            stats_out[:, _S_INICM + c:_S_INICM + c + 1] = ini[c]
+        stats_out[:, _S_CAPT:_S_CAPT + 1] = capt_f
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+
+def _flat(a, Vp):
+    """(..., X, Y, Z) -> (..., Vp) x-major flatten + lane pad."""
+    lead = a.shape[:-3]
+    V = a.shape[-3] * a.shape[-2] * a.shape[-1]
+    a = a.reshape(lead + (V,))
+    if Vp > V:
+        pad = [(0, 0)] * len(lead) + [(0, Vp - V)]
+        a = jnp.pad(a, pad)
+    return a
+
+
+def pack_state(state: SimState, Vp: int, dtype=jnp.float32):
+    """Batched SimState (B, X, Y, Z, ...) -> (B, C_S, Vp)."""
+    B = state.scale.shape[0]
+    f = lambda a: _flat(a, Vp).astype(dtype)  # noqa: E731
+    chans = [None] * C_S
+    for c in range(3):
+        chans[_POS + c] = f(state.pos[..., c])
+        chans[_LIN + c] = f(state.linmom[..., c])
+        chans[_ANG + c] = f(state.angmom[..., c])
+    for c in range(4):
+        chans[_QUAT + c] = f(state.quat[..., c])
+    chans[_SCALE] = f(state.scale)
+    for d in range(3):
+        chans[_SMALL + d] = f(state.small_angle[:, d].astype(dtype))
+        chans[_MAXS + d] = f(state.max_strain[:, d])
+        for c in range(3):
+            chans[_LP2 + 3 * d + c] = f(state.last_pos2[:, d, ..., c])
+            chans[_LA1 + 3 * d + c] = f(state.last_angle1[:, d, ..., c])
+            chans[_LA2 + 3 * d + c] = f(state.last_angle2[:, d, ..., c])
+    zero = jnp.zeros((B, Vp), dtype)
+    chans = [zero if c is None else c for c in chans]
+    return jnp.stack(chans, axis=1)
+
+
+def unpack_state(packed, template: SimState, grid_shape) -> SimState:
+    """(B, C_S, Vp) -> batched SimState with `template`'s aux fields."""
+    X, Y, Z = grid_shape
+    V = X * Y * Z
+    B = packed.shape[0]
+    dtype = template.pos.dtype
+
+    def g(k):
+        return packed[:, k, :V].reshape(B, X, Y, Z).astype(dtype)
+
+    pos = jnp.stack([g(_POS + c) for c in range(3)], axis=-1)
+    quat = jnp.stack([g(_QUAT + c) for c in range(4)], axis=-1)
+    lin = jnp.stack([g(_LIN + c) for c in range(3)], axis=-1)
+    ang = jnp.stack([g(_ANG + c) for c in range(3)], axis=-1)
+    scale = g(_SCALE)
+    small = jnp.stack([g(_SMALL + d) > 0.5 for d in range(3)], axis=1)
+    maxs = jnp.stack([g(_MAXS + d) for d in range(3)], axis=1)
+    lp2 = jnp.stack(
+        [jnp.stack([g(_LP2 + 3 * d + c) for c in range(3)], axis=-1)
+         for d in range(3)], axis=1)
+    la1 = jnp.stack(
+        [jnp.stack([g(_LA1 + 3 * d + c) for c in range(3)], axis=-1)
+         for d in range(3)], axis=1)
+    la2 = jnp.stack(
+        [jnp.stack([g(_LA2 + 3 * d + c) for c in range(3)], axis=-1)
+         for d in range(3)], axis=1)
+    return template.replace(
+        pos=pos, quat=quat, linmom=lin, angmom=ang, scale=scale,
+        last_scale=scale, small_angle=small, max_strain=maxs,
+        last_pos2=lp2, last_angle1=la1, last_angle2=la2,
+    )
+
+
+def pack_body(body: VoxelBody, Vp: int, dtype=jnp.float32):
+    """VoxelBody (unbatched) -> (1, C_B, Vp); batched bodies get a leading
+    batch dim via vmap of this function."""
+    f = lambda a: _flat(a, Vp).astype(dtype)  # noqa: E731
+    chans = [None] * C_B
+    chans[_B_OCC] = f(body.occ.astype(dtype))
+    chans[_B_MASS] = f(body.mass)
+    chans[_B_MASS_INV] = f(body.mass_inv)
+    chans[_B_INERTIA_INV] = f(body.inertia_inv)
+    chans[_B_2SQ_MEXS] = f(body.two_sq_mexs)
+    chans[_B_2SQ_IEXSSS] = f(body.two_sq_iexsss)
+    chans[_B_LIN_STIFF] = f(body.lin_stiffness)
+    chans[_B_US] = f(body.u_static)
+    chans[_B_UD] = f(body.u_dynamic)
+    chans[_B_CTE] = f(body.cte)
+    chans[_B_PHASE] = f(body.phase_offset)
+    chans[_B_AMPDAMP] = f(body.temp_amp_damp)
+    per_dir = [
+        ("bond_mask", _D_MASK), ("bond_homogeneous", _D_HOM),
+        ("bond_e1", _D_E1), ("bond_e2", _D_E2), ("bond_e", _D_E),
+        ("bond_a2", _D_A2), ("bond_b1", _D_B1), ("bond_b2", _D_B2),
+        ("bond_b3", _D_B3),
+        ("d_a1m1", _D_DA1M1), ("d_a1m2", _D_DA1M2),
+        ("d_a2i1", _D_DA2I1), ("d_a2i2", _D_DA2I2),
+        ("d_b1m1", _D_DB1M1), ("d_b1m2", _D_DB1M2),
+        ("d_b2fm1", _D_DB2FM1), ("d_b2fm2", _D_DB2FM2),
+        ("d_b3i1", _D_DB3I1), ("d_b3i2", _D_DB3I2),
+    ]
+    for d in range(3):
+        base = _B_DIR + d * _B_PER_DIR
+        for name, off in per_dir:
+            a = getattr(body, name)[d]
+            chans[base + off] = f(a.astype(dtype))
+    zero = jnp.zeros((Vp,), dtype)
+    chans = [zero if c is None else c for c in chans]
+    return jnp.stack(chans, axis=0)[None]
+
+
+def make_stats(
+    body: VoxelBody, batch: int, dt, sim: SimParams, env: EnvParams,
+    stop_time=None, dtype=jnp.float32
+):
+    """Initial (B, C_STAT) stats array for fresh rollouts. The env scalars
+    ride per-robot channels so heterogeneous envs batch in one kernel; any
+    channel may be overwritten with per-robot values before the call."""
+    total_mass = jnp.sum(body.mass)
+    inv_m = jnp.where(total_mass > 0, 1.0 / total_mass, 0.0)
+    stats = jnp.zeros((batch, C_STAT), dtype)
+    stats = stats.at[:, _S_DT].set(jnp.asarray(dt, dtype))
+    stats = stats.at[:, _S_INV_MASS].set(inv_m.astype(dtype))
+    stats = stats.at[:, _S_STOP].set(
+        jnp.asarray(np.inf if stop_time is None else stop_time, dtype)
+    )
+    # per-voxel TempAmplitude/TempPeriod are float32 in the reference
+    # (VXS_Voxel.h:109-110) — quantize like core.step._scale_update
+    q32 = lambda v: jnp.asarray(v, jnp.float32).astype(dtype)  # noqa: E731
+    stats = stats.at[:, _S_TAMP].set(q32(env.temp_amplitude))
+    stats = stats.at[:, _S_TPER].set(q32(env.temp_period))
+    stats = stats.at[:, _S_INITCM].set(jnp.asarray(sim.init_cm_time, dtype))
+    stats = stats.at[:, _S_GRAV].set(jnp.asarray(env.grav_acc, dtype))
+    stats = stats.at[:, _S_MINTF].set(jnp.asarray(sim.min_temp_fact, dtype))
+    stats = stats.at[:, _S_GAMP].set(jnp.asarray(env.growth_amplitude, dtype))
+    return stats
+
+
+@struct.dataclass
+class FastRolloutStats:
+    """Per-rollout outputs of the fused kernel."""
+
+    time: Any  # (B,)
+    diverged: Any  # (B,) bool
+    ini_cm: Any  # (B, 3)
+    cm_captured: Any  # (B,) bool
+
+
+def stats_to_outputs(stats) -> FastRolloutStats:
+    return FastRolloutStats(
+        time=stats[:, _S_TIME],
+        diverged=stats[:, _S_DIV] > 0.5,
+        ini_cm=stats[:, _S_INICM:_S_INICM + 3],
+        cm_captured=stats[:, _S_CAPT] > 0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+
+def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
+    """True when (body, sim, env) is inside the fused kernel's envelope."""
+    return (
+        body.all_linear
+        and body.collision is None
+        and not sim.volume_effects_enabled
+        and not sim.plasticity_enabled
+        and not sim.equilibrium_mode
+        and not sim.max_velocity_enabled
+        and not env.fluid_environment
+        and not env.floor_limited
+        and env.sources is None
+        and not env.needle_in_haystack
+        and not env.falling_prohibited
+        and not body.using_initial_voxel_size
+        and not body.using_final_voxel_size
+        and not body.using_growth_time
+        and not body.using_final_phase_offset
+        and not body.using_final_temp_amp_damp
+        and float(sim.mid_life_freeze_time) == 0.0
+        and bool(np.all(np.asarray(body.dof_fixed) == 0))
+        and bool(np.all(np.asarray(body.external_force) == 0.0))
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_steps", "grid_shape", "batch_block", "n_knots", "interpret",
+        "scalars", "flags", "prec",
+    ),
+)
+def _fused_call(
+    state_packed,
+    body_packed,
+    stats,
+    control_packed,
+    *,
+    num_steps: int,
+    grid_shape,
+    batch_block: int,
+    n_knots: int,
+    interpret: bool,
+    scalars,
+    flags,
+    prec: Precision,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    X, Y, Z = grid_shape
+    B, _, Vp = state_packed.shape
+    b = batch_block
+    assert B % b == 0
+    shared_body = body_packed.shape[0] == 1
+
+    kernel = _make_kernel(
+        X, Y, Z, Vp, num_steps, dict(scalars), dict(flags), prec, n_knots
+    )
+
+    grid = (B // b,)
+    state_spec = pl.BlockSpec(
+        (b, C_S, Vp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    body_spec = pl.BlockSpec(
+        (1 if shared_body else b, C_B, Vp),
+        (lambda i: (0, 0, 0)) if shared_body else (lambda i: (i, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    stats_spec = pl.BlockSpec(
+        (b, C_STAT), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [state_spec, body_spec, stats_spec]
+    inputs = [state_packed, body_packed, stats]
+    if n_knots:
+        ctrl_spec = pl.BlockSpec(
+            (b, n_knots, Vp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs.append(ctrl_spec)
+        inputs.append(control_packed)
+
+    out_state, out_stats = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[state_spec, stats_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(state_packed.shape, state_packed.dtype),
+            jax.ShapeDtypeStruct(stats.shape, stats.dtype),
+        ],
+        interpret=interpret,
+        # the default 16MB scoped-vmem cap is shy of this kernel's working
+        # set at batch_block=8 (state carry + bond intermediates); v5e has
+        # ample physical VMEM beyond it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(*inputs)
+    return out_state, out_stats
+
+
+# jitted packers: the pack/unpack stages are ~50 reshape/pad/stack ops on
+# large arrays — eager dispatch would cost a visible fraction of the kernel
+_pack_state_jit = jax.jit(pack_state, static_argnums=(1, 2))
+_pack_body_jit = jax.jit(pack_body, static_argnums=(1, 2))
+_unpack_state_jit = jax.jit(unpack_state, static_argnums=(2,))
+
+
+def fused_rollout(
+    state: SimState,
+    body: VoxelBody,
+    sim: SimParams,
+    env: EnvParams,
+    num_steps: int,
+    dt,
+    stop_time=None,
+    control_sequence=None,
+    batch_block: int = 8,
+    interpret: bool = False,
+    prec: Precision = DEFAULT_PRECISION,
+    stats=None,
+):
+    """Advance a batched SimState by `num_steps` with the fused kernel.
+
+    `state`: batched (leading dim B, padded to a multiple of `batch_block`
+    by the caller). `body`: one shared design. `control_sequence`: optional
+    (B, K, X, Y, Z) per-voxel scale modulation knots (the MPC channel of
+    core.step.sim_step). Returns (new_state, FastRolloutStats).
+    """
+    if not supports(body, sim, env):
+        raise ValueError(
+            "configuration outside the fused kernel envelope; "
+            "use core.rollout (see ops.fused_rollout.supports)"
+        )
+    X, Y, Z = body.occ.shape
+    V = X * Y * Z
+    Vp = _cdiv(V, 128) * 128
+    B = state.scale.shape[0]
+    if B % batch_block:
+        raise ValueError(f"batch {B} not a multiple of batch_block {batch_block}")
+
+    dtype = jnp.float32
+    state_packed = _pack_state_jit(state, Vp, dtype)
+    body_packed = _pack_body_jit(body, Vp, dtype)
+    if stats is None:
+        stats = make_stats(body, B, dt, sim, env, stop_time, dtype)
+
+    n_knots = 0
+    control_packed = None
+    if control_sequence is not None:
+        n_knots = control_sequence.shape[1]
+        control_packed = _flat(
+            control_sequence.astype(dtype), Vp
+        )  # (B, K, Vp)
+
+    scalars = dict(
+        L=float(body.nominal_size),
+        slow_damping_z=float(sim.slow_damping_z),
+        bond_damping_z=float(sim.bond_damping_z),
+        col_damping_z=float(sim.col_damping_z),
+    )
+    flags = dict(
+        gravity=bool(env.gravity_enabled),
+        floor=bool(env.floor_enabled),
+        sticky=bool(env.sticky_floor),
+        temp=bool(env.temp_enabled and env.vary_temp_enabled),
+    )
+
+    out_state, out_stats = _fused_call(
+        state_packed,
+        body_packed,
+        stats,
+        control_packed,
+        num_steps=num_steps,
+        grid_shape=(X, Y, Z),
+        batch_block=batch_block,
+        n_knots=n_knots,
+        interpret=interpret,
+        scalars=tuple(sorted(scalars.items())),
+        flags=tuple(sorted(flags.items())),
+        prec=prec,
+    )
+    new_state = _unpack_state_jit(out_state, state, (X, Y, Z))
+    outs = stats_to_outputs(out_stats)
+    new_state = new_state.replace(
+        time=outs.time.astype(state.time.dtype),
+        diverged=outs.diverged,
+    )
+    return new_state, outs
+
+
+def locomotion_fitness(state: SimState, body: VoxelBody, outs: FastRolloutStats):
+    """NormFinalDist from a fused rollout (reference: VX_SimGA.cpp:36)."""
+    from evosoro_tpu.core.rollout import center_of_mass
+
+    cm = jax.vmap(lambda s: center_of_mass(s, body))(state)
+    delta = cm[:, :2] - outs.ini_cm[:, :2]
+    dsq = jnp.sum(delta * delta, axis=-1)
+    dist = jnp.where(dsq > 0, jnp.sqrt(jnp.where(dsq > 0, dsq, 1.0)), 0.0)
+    dist = dist / body.nominal_size
+    return jnp.where(outs.diverged, 0.0, dist)

@@ -1,0 +1,167 @@
+"""Parity of the fused Pallas rollout kernel (interpreter mode, CPU) against
+the general jnp stencil `core.step.sim_step` / `core.rollout.rollout`.
+
+The kernel replicates the jnp step's f32 numerics op-for-op, so short-horizon
+trajectories should agree to float32 roundoff; statistics (divergence latch,
+IniCM capture) follow core/rollout.py semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evosoro_tpu.core.materials import build_body, calc_max_dt, palette_from_list
+from evosoro_tpu.core.rollout import init_state
+from evosoro_tpu.core.step import sim_step
+from evosoro_tpu.core.types import EnvParams, SimParams, evosoro_default_palette
+from evosoro_tpu.ops.fused_rollout import (
+    fused_rollout,
+    locomotion_fitness,
+    supports,
+)
+
+
+def _make(batch=8, n=5, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    structure = rng.integers(0, 5, size=(n, n, n)).astype(np.int32)
+    structure[n // 2, n // 2, 0] = 3
+    phase = rng.uniform(-1, 1, size=(n, n, n))
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, palette, phase_offset=phase, dtype=dtype)
+    sim = SimParams()
+    env = EnvParams()
+    dt = jnp.asarray(calc_max_dt(body), dtype) * jnp.asarray(sim.dt_frac, dtype)
+    state = init_state(body, dtype=dtype)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state
+    )
+    return batched, body, sim, env, dt
+
+
+def _jnp_steps(batched, body, sim, env, dt, steps):
+    def one(s):
+        def step(s, _):
+            return sim_step(s, body, sim, env, dt), ()
+
+        s, _ = jax.lax.scan(step, s, None, length=steps)
+        return s
+
+    return jax.jit(jax.vmap(one))(batched)
+
+
+@pytest.mark.parametrize("steps", [1, 25])
+def test_fused_matches_jnp_step(steps):
+    batched, body, sim, env, dt = _make()
+    assert supports(body, sim, env)
+
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.quat), np.asarray(ref.quat), rtol=2e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.linmom), np.asarray(ref.linmom), rtol=1e-4, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scale), np.asarray(ref.scale), rtol=1e-6, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.time), np.asarray(ref.time), rtol=1e-6
+    )
+    assert np.array_equal(np.asarray(out.small_angle), np.asarray(ref.small_angle))
+    assert not bool(np.any(np.asarray(stats.diverged)))
+
+
+def test_fused_longer_actuated_locomotion():
+    """Past init_cm_time the actuation kicks in; CoM capture + fitness must
+    track the jnp rollout's NormFinalDist within f32 drift."""
+    batched, body, sim, env, dt = _make(batch=8, n=4, seed=3)
+    # shorten the pre-actuation settle so actuation happens within the test
+    # (dt here is ~6.4e-5 s, so actuation starts ~step 32)
+    sim = sim.replace(init_cm_time=0.002, stop_condition_value=0.1)
+    steps = 120
+
+    from evosoro_tpu.core.rollout import rollout
+
+    def ref_one(s):
+        return rollout(body, sim, env, num_steps=steps, dt=dt, state=s)
+
+    ref = jax.jit(jax.vmap(ref_one))(batched)
+
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    fit = locomotion_fitness(out, body, stats)
+
+    np.testing.assert_allclose(
+        np.asarray(stats.ini_cm), np.asarray(ref.ini_cm), rtol=1e-4, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(fit),
+        np.asarray(jnp.where(ref.diverged, 0.0, ref.final_dist)),
+        rtol=5e-3, atol=1e-5,
+    )
+
+
+def test_fused_stop_time_freezes():
+    batched, body, sim, env, dt = _make(batch=8, n=4, seed=1)
+    stop = float(dt) * 10.5
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=30, dt=dt, stop_time=stop,
+        interpret=True,
+    )
+    # time freezes at the first step whose pre-step time >= stop
+    t = np.asarray(stats.time)
+    assert np.all(t <= stop + float(dt) * 1.001)
+    assert np.all(t >= stop - float(dt) * 0.001)
+
+
+def test_fused_control_sequence_matches_jnp():
+    batched, body, sim, env, dt = _make(batch=8, n=4, seed=2)
+    steps, K = 20, 4
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(
+        rng.uniform(-0.05, 0.05, size=(8, K) + body.occ.shape), jnp.float32
+    )
+
+    def one(s, ui):
+        def step(carry, i):
+            knot = jnp.minimum(i * K // steps, K - 1)
+            return (
+                sim_step(carry, body, sim, env, dt, control_offset=ui[knot]),
+                (),
+            )
+
+        s, _ = jax.lax.scan(step, s, jnp.arange(steps))
+        return s
+
+    ref = jax.jit(jax.vmap(one))(batched, u)
+    out, _ = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt,
+        control_sequence=u, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scale), np.asarray(ref.scale), rtol=1e-5, atol=0
+    )
+
+
+def test_supports_rejects_featureful_configs():
+    batched, body, sim, env, dt = _make(n=4)
+    assert supports(body, sim, env)
+    assert not supports(body, sim.replace(volume_effects_enabled=True), env)
+    assert not supports(body, sim, env.replace(fluid_environment=True))
+    with pytest.raises(ValueError):
+        fused_rollout(
+            batched, body, sim.replace(volume_effects_enabled=True), env,
+            num_steps=1, dt=dt, interpret=True,
+        )
