@@ -182,6 +182,86 @@ def grad_optimize(
     return u, dict(cost_trace=cs, final_cost=cs[-1])
 
 
+def cem_optimize_fused(
+    key,
+    body: VoxelBody,
+    sim: SimParams,
+    env: EnvParams,
+    num_steps: int,
+    num_knots: int,
+    config: CEMConfig = CEMConfig(),
+    dt=None,
+    state0: SimState | None = None,
+    stop_time=None,
+    interpret: bool = False,
+):
+    """CEM over control sequences through the fused Pallas rollout kernel
+    (ops/fused_rollout.FusedBatchRunner): one kernel launch per CEM
+    iteration evaluates the whole candidate population with the rollout
+    state VMEM-resident — the production MPC solve path on TPU.
+
+    Same semantics as `cem_optimize` (which remains the general/differen-
+    tiable-feature path); the CEM update runs on host between launches.
+    """
+    from evosoro_tpu.ops.fused_rollout import FusedBatchRunner
+
+    import numpy as np
+
+    P = int(np.ceil(config.pop_size / 8) * 8)
+    runner = FusedBatchRunner(
+        body, sim, env, batch=P, num_steps=num_steps, num_knots=num_knots,
+        dt=dt, state=state0, stop_time=stop_time, interpret=interpret,
+    )
+    X, Y, Z = body.occ.shape
+    shape = (num_knots, X, Y, Z)
+    mean = jnp.zeros(shape, jnp.float32)
+    std = jnp.full(shape, config.init_std, jnp.float32)
+    n_elite = max(1, int(config.pop_size * config.elite_frac))
+    best_u = mean
+    best_cost = jnp.asarray(jnp.inf, jnp.float32)
+    best_trace, mean_trace = [], []
+
+    sample = jax.jit(
+        lambda k, m, s: jnp.clip(
+            m[None] + s[None] * jax.random.normal(k, (P,) + shape, jnp.float32),
+            -config.u_clip, config.u_clip,
+        )
+    )
+
+    @jax.jit
+    def update(us, costs, mean, std, best_u, best_cost):
+        order = jnp.argsort(costs)[:n_elite]
+        elites = us[order]
+        a = config.smoothing
+        mean = a * jnp.mean(elites, axis=0) + (1 - a) * mean
+        std = a * (jnp.std(elites, axis=0) + config.min_std) + (1 - a) * std
+        it_best = costs[order[0]]
+        better = it_best < best_cost
+        best_u = jnp.where(better, us[order[0]], best_u)
+        best_cost = jnp.minimum(best_cost, it_best)
+        return mean, std, best_u, best_cost, it_best, jnp.mean(costs)
+
+    # the whole loop stays on-device; the host only sequences kernel launches
+    for _ in range(config.num_iters):
+        key, sub = jax.random.split(key)
+        us = sample(sub, mean, std)
+        metrics = runner.run(us)
+        costs = jnp.where(metrics["diverged"], 1e9, -metrics["norm_final_dist"])
+        mean, std, best_u, best_cost, it_best, mean_cost = update(
+            us, costs, mean, std, best_u, best_cost
+        )
+        best_trace.append(best_cost)
+        mean_trace.append(mean_cost)
+
+    return best_u, dict(
+        best_cost=float(best_cost),
+        best_cost_trace=jnp.stack(best_trace),
+        mean_cost_trace=jnp.stack(mean_trace),
+        final_mean=mean,
+        final_std=std,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class MPCController:
     """Receding-horizon planner: CEM over a short lookahead, execute the

@@ -549,6 +549,30 @@ def _scale_update(state, body, sim: SimParams, env: EnvParams, t):
     """Returns (new_scale, new_devo_state). new_devo_state is None unless
     ballistic development is active (state.devo is not None)."""
     nom = jnp.broadcast_to(body.nominal_size, state.scale.shape)
+
+    if env.fluid_environment:
+        # the land_water fork's simpler actuation — no devo machinery, no
+        # amp-damp, no rate-limited clamps; a hard floor at the #define'd
+        # MIN_TEMP_FACTOR=0.1 (reference: land_water VXS_Voxel.cpp:210-236,
+        # VX_Sim.h:31). Per-voxel TempAmplitude/TempPeriod are float32
+        # members there too.
+        if env.temp_enabled:
+            amp_q = jnp.asarray(env.temp_amplitude).astype(jnp.float32).astype(
+                nom.dtype
+            )
+            period_q = jnp.asarray(env.temp_period).astype(jnp.float32).astype(
+                nom.dtype
+            )
+            ctrl = amp_q * jnp.sin(
+                2.0 * REF_PI_FLOAT * (_safe_div(t, period_q) + body.phase_offset)
+            ) * body.cte
+            temp_fact = 1.0 + jnp.where(
+                (t >= sim.init_cm_time) & (env.temp_period != 0), ctrl, 0.0
+            )
+        else:
+            temp_fact = jnp.ones_like(nom)
+        temp_fact = jnp.maximum(temp_fact, 0.1)
+        return jnp.where(body.occ, temp_fact * nom, nom), state.devo
     max_scale = (1.0 + env.growth_amplitude) * nom
     min_scale = sim.min_temp_fact * nom
     last = state.last_scale
@@ -781,13 +805,29 @@ def sim_step(
     if env.fluid_environment:
         if body.mesh_drag is not None:
             # reference-accurate facet drag on the deformed surface mesh
-            # (land_water VX_Sim.cpp:1516-1600)
+            # (land_water VX_Sim.cpp:1516-1600). The mesh corners come from
+            # the per-direction bond strains written THIS step by the bond
+            # pass (land_water VXS_Voxel.cpp:474-475) — same in-step ordering
+            # as the reference's Integrate (bonds, then voxels).
             from evosoro_tpu.envs.drag import mesh_drag_forces
 
+            strain_pos = jnp.stack([
+                jnp.where(body.bond_mask[d], bonds[d]["sv1"], 0.0)
+                for d in range(3)
+            ])
+            strain_neg = jnp.stack([
+                jnp.where(
+                    _from_nbr(body.bond_mask[d], d),
+                    _from_nbr(bonds[d]["sv2"], d), 0.0,
+                )
+                for d in range(3)
+            ])
             total_force = total_force + mesh_drag_forces(
                 state.pos, state.quat, state.scale, state.linmom,
                 body.mass_inv, body.mesh_drag,
                 env.aggregate_drag_coefficient,
+                strain_pos=strain_pos, strain_neg=strain_neg,
+                nominal_size=body.nominal_size,
             )
         else:
             total_force = total_force + _fluid_drag(state, body, env, vel)

@@ -140,13 +140,19 @@ def attach_mesh_drag(body, pad_tris: int | None = None):
 
 
 def mesh_drag_forces(pos, quat, scale, linmom, mass_inv, sys: MeshDragSystem,
-                     drag_coefficient):
+                     drag_coefficient, strain_pos=None, strain_neg=None,
+                     nominal_size=None):
     """(X,Y,Z,3) drag force field from the deformed surface mesh.
 
     Replicates the reference per-facet model (land_water VX_Sim.cpp:1524-1581)
-    with vertex positions per UpdateMeshPhysicsOnlyNoColors /
-    GetCurVLoc (VX_MeshUtil.cpp:368-421): vertex = mean over adjacent voxels
-    of  pos + R_vox·(0.5·scale·sign)."""
+    with vertex positions per UpdateMeshPhysicsOnlyNoColors / GetCurVLoc
+    (VX_MeshUtil.cpp:368-421): vertex = mean over its adjacent voxels of
+    pos + R_vox·corner_offset. The reference's corner offsets are per-axis
+    STRAIN-based — CornerPosCur = (1+StrainPosDirsCur)·NominalSize/2, from
+    the bond strains written each step (land_water VXS_Voxel.cpp:474-475,
+    VXS_BondInternal.cpp:301-303) — pass `strain_pos`/`strain_neg`
+    ((3,X,Y,Z), bond-masked) + `nominal_size` for that path; without them a
+    scale-based approximation (0.5·scale·sign) is used (identical at rest)."""
     shape3 = pos.shape[:-1]
     posf = pos.reshape(-1, 3)
     quatf = quat.reshape(-1, 4)
@@ -157,8 +163,18 @@ def mesh_drag_forces(pos, quat, scale, linmom, mass_inv, sys: MeshDragSystem,
     vvox = sys.vert_vox  # (V, 8)
     p = posf[vvox]  # (V, 8, 3)
     qv = quatf[vvox]  # (V, 8, 4)
-    s = scalef[vvox]  # (V, 8)
-    off = 0.5 * s[..., None] * sys.vert_sign  # (V, 8, 3)
+    if strain_pos is not None:
+        sp = strain_pos.reshape(3, -1)[:, vvox]  # (3, V, 8)
+        sn = strain_neg.reshape(3, -1)[:, vvox]
+        sel = jnp.where(
+            sys.vert_sign > 0,
+            jnp.moveaxis(sp, 0, -1),  # (V, 8, 3)
+            jnp.moveaxis(sn, 0, -1),
+        )
+        off = sys.vert_sign * (0.5 * nominal_size) * (1.0 + sel)
+    else:
+        s = scalef[vvox]  # (V, 8)
+        off = 0.5 * s[..., None] * sys.vert_sign  # (V, 8, 3)
     world = p + q.quat_rotate(qv, off)
     wsum = jnp.sum(sys.vert_w, axis=1)
     vpos = jnp.sum(world * sys.vert_w[..., None], axis=1) / jnp.maximum(

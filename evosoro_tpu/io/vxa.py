@@ -736,6 +736,8 @@ def write_vxa(
 <OnsetRelative>{int(env.onset_relative)}</OnsetRelative>
 <TerminationRelative>{int(env.termination_relative)}</TerminationRelative>
 <StickyFloor>{int(env.sticky_floor)}</StickyFloor>
+<FluidEnvironment>{int(env.fluid_environment)}</FluidEnvironment>
+<AggregateDragCoefficient>{env.aggregate_drag_coefficient}</AggregateDragCoefficient>
 {sources_block}{trace_tags}{extra_env_tags}</Environment>
 <VXC Version="0.93">
 <Lattice>

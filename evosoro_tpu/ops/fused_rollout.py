@@ -105,7 +105,14 @@ _D_DB2FM1 = 15
 _D_DB2FM2 = 16
 _D_DB3I1 = 17
 _D_DB3I2 = 18
-C_B = _B_DIR + 3 * _B_PER_DIR  # 72
+_B_DEVO = _B_DIR + 3 * _B_PER_DIR  # 72: devo per-voxel fields
+_B_INIT_SIZE = _B_DEVO + 0  # initial voxel size [m] (VXS_Voxel.h:96)
+_B_FINAL_SIZE = _B_DEVO + 1
+_B_GROWTH_T = _B_DEVO + 2  # growth time [s]
+_B_START_GT = _B_DEVO + 3
+_B_FINAL_PHASE = _B_DEVO + 4
+_B_FINAL_AD = _B_DEVO + 5  # final temp amp damp
+C_B = 80  # 78 channels padded to a sublane multiple
 
 # stats channels (lane-padded to 16)
 _S_TIME = 0
@@ -557,9 +564,22 @@ def _make_kernel(
         cte = body_at(_B_CTE)
         phase = body_at(_B_PHASE)
         amp_damp = body_at(_B_AMPDAMP)
+        devo_on = (flags["use_init_size"] or flags["use_final_size"]
+                   or flags["use_growth_t"])
+        if devo_on:
+            init_size = body_at(_B_INIT_SIZE)
+            final_size = body_at(_B_FINAL_SIZE)
+            growth_t = body_at(_B_GROWTH_T)
+            start_gt = body_at(_B_START_GT)
+        if flags["use_final_phase"]:
+            final_phase = body_at(_B_FINAL_PHASE)
+        if flags["use_final_ad"]:
+            final_ad = body_at(_B_FINAL_AD)
 
         if ctrl_ref is not None:
-            ctrl_all = ctrl_ref[:, :, :]  # (b, K, Vp), VMEM-resident
+            # static per-knot reads; the per-step knot lookup is a select-sum
+            # (Mosaic lowers neither dynamic_slice on values nor i1 gathers)
+            ctrl_knots = [ctrl_ref[:, k, :] for k in range(n_knots)]
 
         sc_scalars = dict(sc, dt=dt)
 
@@ -690,20 +710,60 @@ def _make_kernel(
             )
             quat = _qnorm_fast(tuple(q + s * dt for q, s in zip(quat, spin)))
 
-            # ---- actuation (VXS_Voxel.cpp:292-341, fast path: no devo) ----
+            # ---- actuation + linear development (VXS_Voxel.cpp:224-341;
+            # mid-life freeze and ballistic devo are outside the fused
+            # envelope, so their terms are identically zero here) ----
+            if flags["use_init_size"]:
+                cpre = jnp.where(
+                    t >= 0.5 * init_cm, 1.0, _safe_div(2.0 * t, init_cm)
+                )
+                prenatal = cpre * (_safe_div(init_size, L) - 1.0)
+            else:
+                prenatal = None
+            dev_temp_fact = dev_phase = dev_ampdamp = None
+            if flags["use_growth_t"] or flags["use_final_size"]:
+                growing = (t >= start_gt) & (growth_t > 0)
+                eff_t = jnp.minimum(t, start_gt + growth_t)
+                kdev = jnp.where(
+                    growing, _safe_div(eff_t - start_gt, growth_t), 0.0
+                )
+                if flags["use_final_size"]:
+                    dev_temp_fact = kdev * (
+                        _safe_div(final_size, init_size) - 1.0
+                    )
+                if flags["use_final_phase"]:
+                    dev_phase = kdev * (final_phase - phase)
+                if flags["use_final_ad"]:
+                    dev_ampdamp = kdev * (final_ad - amp_damp)
+
             if flags["temp"]:
+                ph = phase if dev_phase is None else phase + dev_phase
+                ad = amp_damp if dev_ampdamp is None else amp_damp + dev_ampdamp
                 t_over_period = _safe_div(t, tper)
                 ctrl = (
-                    amp_damp
-                    * (tamp * jnp.sin(2.0 * REF_PI_FLOAT * (t_over_period + phase)))
+                    ad
+                    * (tamp * jnp.sin(2.0 * REF_PI_FLOAT * (t_over_period + ph)))
                     * cte
                 )
                 ctrl = jnp.where((t >= init_cm) & (tper != 0), ctrl, 0.0)
             else:
                 ctrl = jnp.zeros_like(scale)
 
+            grow_fact = jnp.ones_like(scale)
+            if prenatal is not None:
+                grow_fact = grow_fact * (1.0 + prenatal)
+            if dev_temp_fact is not None:
+                grow_fact = grow_fact * (1.0 + dev_temp_fact)
+            if flags["use_init_size"] or flags["use_final_size"]:
+                # size-capped actuation (reference: VXS_Voxel.cpp:308-320)
+                curr_size = grow_fact * L
+                orig_sig = _safe_div(_safe_div(curr_size, L) - 1.0, gamp)
+                pos_sig = (orig_sig + 1.0) * 0.5
+                capped = jnp.minimum(pos_sig, 0.5)
+                ctrl = ctrl * capped * 2.0
+
             last = scale
-            curr = ctrl * L + L
+            curr = ctrl * L + grow_fact * L
             min_scale = min_tf * L
             max_scale = (1.0 + gamp) * L
             curr = jnp.where((curr < last) & (curr < min_scale), last, curr)
@@ -712,9 +772,11 @@ def _make_kernel(
             if ctrl_ref is not None:
                 # MPC channel applied after the clamps, as in core.step
                 knot = jnp.minimum(i * n_knots // num_steps, n_knots - 1)
-                u = jax.lax.dynamic_index_in_dim(
-                    ctrl_all, knot, axis=1, keepdims=False
-                )
+                u = ctrl_knots[0] if n_knots == 1 else None
+                if n_knots > 1:
+                    u = jnp.zeros_like(scale)
+                    for k in range(n_knots):
+                        u = u + jnp.where(knot == k, 1.0, 0.0) * ctrl_knots[k]
                 scale_new = scale_new + jnp.where(occ, u * L, 0.0)
 
             # ---- freeze (divergence latch / per-rollout stop time;
@@ -889,6 +951,12 @@ def pack_body(body: VoxelBody, Vp: int, dtype=jnp.float32):
         for name, off in per_dir:
             a = getattr(body, name)[d]
             chans[base + off] = f(a.astype(dtype))
+    chans[_B_INIT_SIZE] = f(body.initial_voxel_size)
+    chans[_B_FINAL_SIZE] = f(body.final_voxel_size)
+    chans[_B_GROWTH_T] = f(body.growth_time)
+    chans[_B_START_GT] = f(body.start_growth_time)
+    chans[_B_FINAL_PHASE] = f(body.final_phase_offset)
+    chans[_B_FINAL_AD] = f(body.final_temp_amp_damp)
     zero = jnp.zeros((Vp,), dtype)
     chans = [zero if c is None else c for c in chans]
     return jnp.stack(chans, axis=0)[None]
@@ -931,6 +999,39 @@ class FastRolloutStats:
     cm_captured: Any  # (B,) bool
 
 
+def pack_state_single(state: SimState, Vp: int, dtype=jnp.float32):
+    """Unbatched SimState -> (C_S, Vp). vmap-able (the batched evaluator
+    packs per-individual states built in-trace)."""
+    batched = jax.tree_util.tree_map(lambda x: x[None], state)
+    return pack_state(batched, Vp, dtype)[0]
+
+
+def packed_metrics(out_state, body_packed, out_stats, L):
+    """Locomotion fitness surface straight off packed kernel outputs
+    (no unpack): NormFinalDist = |ΔCoM_xy|/L (reference: VX_SimGA.cpp:36),
+    finalDistY, divergence."""
+    mass = body_packed[:, _B_MASS, :]
+    inv_m = out_stats[:, _S_INV_MASS:_S_INV_MASS + 1]
+    cm = [
+        jnp.sum(out_state[:, _POS + c, :] * mass, axis=1, keepdims=True)
+        * inv_m
+        for c in range(3)
+    ]
+    final_cm = jnp.concatenate(cm, axis=1)  # (B, 3)
+    ini_cm = out_stats[:, _S_INICM:_S_INICM + 3]
+    delta = final_cm[:, :2] - ini_cm[:, :2]
+    dsq = jnp.sum(delta * delta, axis=-1)
+    dist = jnp.where(dsq > 0, jnp.sqrt(jnp.where(dsq > 0, dsq, 1.0)), 0.0) / L
+    diverged = out_stats[:, _S_DIV] > 0.5
+    return dict(
+        norm_final_dist=jnp.where(diverged, 0.0, dist),
+        final_dist_y=delta[:, 1] / L,
+        diverged=diverged,
+        final_cm=final_cm,
+        ini_cm=ini_cm,
+    )
+
+
 def stats_to_outputs(stats) -> FastRolloutStats:
     return FastRolloutStats(
         time=stats[:, _S_TIME],
@@ -959,11 +1060,8 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
         and env.sources is None
         and not env.needle_in_haystack
         and not env.falling_prohibited
-        and not body.using_initial_voxel_size
-        and not body.using_final_voxel_size
-        and not body.using_growth_time
-        and not body.using_final_phase_offset
-        and not body.using_final_temp_amp_damp
+        and not env.norm_dist_by_vol
+        and env.num_trace_steps_in_window == 0
         and float(sim.mid_life_freeze_time) == 0.0
         and bool(np.all(np.asarray(body.dof_fixed) == 0))
         and bool(np.all(np.asarray(body.external_force) == 0.0))
@@ -1111,6 +1209,11 @@ def fused_rollout(
         floor=bool(env.floor_enabled),
         sticky=bool(env.sticky_floor),
         temp=bool(env.temp_enabled and env.vary_temp_enabled),
+        use_init_size=bool(body.using_initial_voxel_size),
+        use_final_size=bool(body.using_final_voxel_size),
+        use_growth_t=bool(body.using_growth_time),
+        use_final_phase=bool(body.using_final_phase_offset),
+        use_final_ad=bool(body.using_final_temp_amp_damp),
     )
 
     out_state, out_stats = _fused_call(
@@ -1146,3 +1249,87 @@ def locomotion_fitness(state: SimState, body: VoxelBody, outs: FastRolloutStats)
     dist = jnp.where(dsq > 0, jnp.sqrt(jnp.where(dsq > 0, dsq, 1.0)), 0.0)
     dist = dist / body.nominal_size
     return jnp.where(outs.diverged, 0.0, dist)
+
+
+class FusedBatchRunner:
+    """Reusable packed-batch rollout launcher for solver loops (CEM/MPC).
+
+    Packs the initial state/body/stats ONCE; each `run(controls)` is a single
+    kernel launch over the candidate batch — the per-solve unit of the MPC
+    throughput target (BASELINE.md solves/sec). Controls are (B, K, X, Y, Z)
+    scale-modulation knots (core.step's MPC channel)."""
+
+    def __init__(
+        self,
+        body: VoxelBody,
+        sim: SimParams,
+        env: EnvParams,
+        batch: int,
+        num_steps: int,
+        num_knots: int,
+        dt=None,
+        state: SimState | None = None,
+        stop_time=None,
+        batch_block: int = 8,
+        interpret: bool = False,
+        prec: Precision = DEFAULT_PRECISION,
+    ):
+        from evosoro_tpu.core.materials import calc_max_dt
+        from evosoro_tpu.core.rollout import init_state
+
+        if not supports(body, sim, env):
+            raise ValueError("configuration outside the fused kernel envelope")
+        if batch % batch_block:
+            raise ValueError(f"batch {batch} % batch_block {batch_block} != 0")
+        if dt is None:
+            dt = calc_max_dt(body) * sim.dt_frac
+        if state is None:
+            state = init_state(body)
+        X, Y, Z = body.occ.shape
+        self.grid_shape = (X, Y, Z)
+        self.Vp = _cdiv(X * Y * Z, 128) * 128
+        self.L = body.nominal_size
+        self.num_steps = num_steps
+        self.num_knots = num_knots
+        self.batch = batch
+        batched = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state
+        )
+        self.state_packed = _pack_state_jit(batched, self.Vp, jnp.float32)
+        self.body_packed = _pack_body_jit(body, self.Vp, jnp.float32)
+        self.stats = make_stats(body, batch, dt, sim, env, stop_time)
+        self._call_kwargs = dict(
+            num_steps=num_steps,
+            grid_shape=self.grid_shape,
+            batch_block=batch_block,
+            n_knots=num_knots,
+            interpret=interpret,
+            scalars=tuple(sorted(dict(
+                L=float(body.nominal_size),
+                slow_damping_z=float(sim.slow_damping_z),
+                bond_damping_z=float(sim.bond_damping_z),
+                col_damping_z=float(sim.col_damping_z),
+            ).items())),
+            flags=tuple(sorted(dict(
+                gravity=bool(env.gravity_enabled),
+                floor=bool(env.floor_enabled),
+                sticky=bool(env.sticky_floor),
+                temp=bool(env.temp_enabled and env.vary_temp_enabled),
+                use_init_size=bool(body.using_initial_voxel_size),
+                use_final_size=bool(body.using_final_voxel_size),
+                use_growth_t=bool(body.using_growth_time),
+                use_final_phase=bool(body.using_final_phase_offset),
+                use_final_ad=bool(body.using_final_temp_amp_damp),
+            ).items())),
+            prec=prec,
+        )
+        self._flat_jit = jax.jit(_flat, static_argnums=(1,))
+
+    def run(self, controls):
+        """controls: (B, K, X, Y, Z) -> dict of per-candidate metrics."""
+        ctrl_packed = self._flat_jit(controls.astype(jnp.float32), self.Vp)
+        out_state, out_stats = _fused_call(
+            self.state_packed, self.body_packed, self.stats, ctrl_packed,
+            **self._call_kwargs,
+        )
+        return packed_metrics(out_state, self.body_packed, out_stats, self.L)

@@ -1,0 +1,181 @@
+"""In-process batched evaluation (the reference's process-per-individual
+bridge, tools/evaluation.py, as ONE dispatch): jnp-scan path vs the fused
+Pallas-kernel path (forced into interpreter mode on CPU via
+EVOSORO_TPU_FUSED_EVAL=1) must assign near-identical fitness."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from evosoro_tpu.evo.base import Env, ObjectiveDict, Sim
+from evosoro_tpu.evo.evaluation import evaluate_all
+from evosoro_tpu.evo.networks import CPPN, DirectEncoding
+from evosoro_tpu.evo.softbot import Genotype, Phenotype, Population
+from evosoro_tpu.utils.phenotype_mappers import make_material_tree
+
+IND_SIZE = (4, 4, 3)
+
+
+class _Genotype(Genotype):
+    """The canonical CPPN material-tree genotype (examples/basic.py) at a
+    small grid, plus a direct-encoded phase offset."""
+
+    def __init__(self):
+        super().__init__(orig_size_xyz=IND_SIZE)
+        self.add_network(
+            CPPN(output_node_names=["shape", "muscleOrTissue", "muscleType",
+                                    "tissueType"])
+        )
+        self.to_phenotype_mapping.add_map(
+            name="material", tag="<Data>", func=make_material_tree,
+            dependency_order=["shape", "muscleOrTissue", "muscleType",
+                              "tissueType"], output_type=int,
+        )
+        self.to_phenotype_mapping.add_output_dependency(
+            name="shape", dependency_name=None, requirement=None,
+            material_if_true=None, material_if_false="0")
+        self.to_phenotype_mapping.add_output_dependency(
+            name="muscleOrTissue", dependency_name="shape", requirement=True,
+            material_if_true=None, material_if_false=None)
+        self.to_phenotype_mapping.add_output_dependency(
+            name="tissueType", dependency_name="muscleOrTissue",
+            requirement=False, material_if_true="1", material_if_false="2")
+        self.to_phenotype_mapping.add_output_dependency(
+            name="muscleType", dependency_name="muscleOrTissue",
+            requirement=True, material_if_true="3", material_if_false="4")
+        self.add_network(DirectEncoding("phase", IND_SIZE, symmetric=False))
+        self.to_phenotype_mapping.add_map(
+            name="phase", tag="<PhaseOffset>", output_type=float
+        )
+
+
+class _Phenotype(Phenotype):
+    def is_valid(self):
+        for name, details in self.genotype.to_phenotype_mapping.items():
+            if np.isnan(details["state"]).any():
+                return False
+            if name == "material":
+                state = details["state"]
+                if np.sum(state > 0) < 4:
+                    return False
+                if np.sum((state == 3) | (state == 4)) < 2:
+                    return False
+        return True
+
+
+def _make_pop(pop_size=8, seed=11):
+    random.seed(seed)
+    np.random.seed(seed)
+    objectives = ObjectiveDict()
+    objectives.add_objective(name="fitness", maximize=True,
+                             tag="<NormFinalDist>")
+    objectives.add_objective(name="age", maximize=False, tag=None)
+    return Population(objectives, _Genotype, _Phenotype, pop_size=pop_size)
+
+
+def _sim_env():
+    # bone (5e8 Pa) may appear in the material tree -> dt ~6.4e-5 s; keep
+    # the horizon short so the interpreter-mode kernel stays fast
+    sim = Sim(dt_frac=0.9, simulation_time=0.01, fitness_eval_init_time=0.002)
+    env = Env(time_between_traces=0)
+    return sim, env
+
+
+def _fitnesses(pop):
+    return np.array([ind.fitness for ind in pop])
+
+
+@pytest.fixture()
+def _restore_env():
+    old = os.environ.get("EVOSORO_TPU_FUSED_EVAL")
+    yield
+    if old is None:
+        os.environ.pop("EVOSORO_TPU_FUSED_EVAL", None)
+    else:
+        os.environ["EVOSORO_TPU_FUSED_EVAL"] = old
+
+
+def test_fused_evaluator_matches_jnp(_restore_env):
+    sim, env = _sim_env()
+
+    pop_a = _make_pop()
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "0"
+    evaluate_all(sim, env, pop_a)
+    fits_jnp = _fitnesses(pop_a)
+
+    pop_b = _make_pop()  # same seed -> identical genomes
+    pop_b.already_evaluated = {}
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"  # fused, interpret on CPU
+    evaluate_all(sim, env, pop_b)
+    fits_fused = _fitnesses(pop_b)
+
+    assert np.isfinite(fits_jnp).all()
+    # at least someone should have moved a little
+    assert np.max(np.abs(fits_jnp)) > 0
+    np.testing.assert_allclose(fits_fused, fits_jnp, rtol=5e-3, atol=1e-6)
+
+
+class _GrowthGenotype(Genotype):
+    """examples/growth.py's genotype at a small grid: per-voxel initial and
+    final sizes as raw CPPN outputs mapped through the import-time devo
+    transform (reference: VX_Sim.cpp:878-965)."""
+
+    def __init__(self):
+        super().__init__(orig_size_xyz=IND_SIZE)
+        self.add_network(CPPN(output_node_names=["initial_size"]))
+        self.to_phenotype_mapping.add_map(
+            name="initial_size", tag="<InitialVoxelSize>"
+        )
+        self.add_network(CPPN(output_node_names=["final_size"]))
+        self.to_phenotype_mapping.add_map(
+            name="final_size", tag="<FinalVoxelSize>"
+        )
+
+
+def test_growth_evaluator_devo_transform(_restore_env):
+    """The evaluator must map raw genome devo outputs to physical
+    sizes/times (not feed sigmoids as meters); jnp and fused paths agree."""
+    sim = Sim(dt_frac=0.9, simulation_time=0.01, fitness_eval_init_time=0.002,
+              min_temp_fact=0.4)
+    env = Env(time_between_traces=0)
+    env.add_param("growth_amplitude", 0.8, "<GrowthAmplitude>")
+
+    def make():
+        random.seed(21)
+        np.random.seed(21)
+        objectives = ObjectiveDict()
+        objectives.add_objective(name="fitness", maximize=True,
+                                 tag="<NormFinalDist>")
+        objectives.add_objective(name="age", maximize=False, tag=None)
+        return Population(objectives, _GrowthGenotype, Phenotype,
+                          pop_size=8)
+
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "0"
+    pop_a = make()
+    evaluate_all(sim, env, pop_a)
+    fits_jnp = _fitnesses(pop_a)
+    assert np.isfinite(fits_jnp).all()
+    # with the transform, nobody diverges into worst fitness
+    worst = pop_a.objective_dict[0]["worst_value"]
+    assert not np.any(fits_jnp == worst)
+
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"
+    pop_b = make()
+    evaluate_all(sim, env, pop_b)
+    fits_fused = _fitnesses(pop_b)
+    np.testing.assert_allclose(fits_fused, fits_jnp, rtol=5e-3, atol=1e-6)
+
+
+def test_evaluator_dedups_by_md5(_restore_env):
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "0"
+    sim, env = _sim_env()
+    pop = _make_pop(pop_size=4, seed=3)
+    evaluate_all(sim, env, pop)
+    n_evals = pop.total_evaluations
+    # re-evaluating the same individuals hits the md5 cache
+    for ind in pop:
+        ind.fitness = pop.objective_dict[0]["worst_value"]
+    evaluate_all(sim, env, pop)
+    assert pop.total_evaluations == n_evals

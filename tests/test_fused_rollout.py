@@ -155,6 +155,49 @@ def test_fused_control_sequence_matches_jnp():
     )
 
 
+def test_fused_devo_growth_matches_jnp():
+    """Linear development (growth.py's envelope: initial/final voxel sizes,
+    growth window, size-capped actuation) inside the fused kernel must track
+    the jnp step."""
+    rng = np.random.default_rng(7)
+    n = 4
+    structure = np.full((n, n, n), 3, dtype=np.int32)
+    phase = rng.uniform(-1, 1, size=(n, n, n))
+    L = 0.01
+    init_size = (1.0 + 0.8 * rng.uniform(-1, 1, size=(n, n, n))) * L
+    final_size = (1.0 + 0.8 * rng.uniform(-1, 1, size=(n, n, n))) * L
+    growth_time = rng.uniform(0.001, 0.004, size=(n, n, n))
+    start_gt = rng.uniform(0.0005, 0.002, size=(n, n, n))
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(
+        structure, palette, phase_offset=phase,
+        initial_voxel_size=init_size, final_voxel_size=final_size,
+        growth_time=growth_time, start_growth_time=start_gt,
+        dtype=jnp.float32,
+    )
+    sim = SimParams(init_cm_time=0.001, min_temp_fact=0.4)
+    env = EnvParams(growth_amplitude=0.8)
+    dt = jnp.asarray(calc_max_dt(body), jnp.float32) * jnp.asarray(
+        sim.dt_frac, jnp.float32
+    )
+    state = init_state(body, dtype=jnp.float32)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    steps = 80
+
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scale), np.asarray(ref.scale), rtol=2e-5, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=5e-5, atol=1e-8
+    )
+
+
 def test_supports_rejects_featureful_configs():
     batched, body, sim, env, dt = _make(n=4)
     assert supports(body, sim, env)

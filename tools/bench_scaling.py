@@ -1,0 +1,99 @@
+"""Weak-scaling harness: rollout throughput efficiency across mesh sizes.
+
+BASELINE.md asks >=85% solves/s scaling efficiency on a pod slice. Real
+multi-chip hardware is not reachable from this box, so by default this runs
+the SAME sharded program on N virtual CPU devices
+(--xla_force_host_platform_device_count) to validate the sharding/collective
+structure; on a pod slice it runs unmodified over ICI.
+
+Per device count d: a batch of PER_DEV*d rollouts is sharded over a 1-D
+"rollout" mesh (parallel/mesh.py) and throughput measured; efficiency(d) =
+T(d) / (d * T(1)).
+
+Run:  python tools/bench_scaling.py  [prints one JSON line]
+"""
+
+import json
+import os
+import sys
+
+if "JAX_PLATFORMS" not in os.environ or os.environ.get("JAX_PLATFORMS") == "axon":
+    # single real chip -> use virtual CPU devices for the scaling structure
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon site hook may import jax before this script runs; the config
+    # update still wins as long as no backend has been initialized
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from evosoro_tpu.core.materials import (  # noqa: E402
+    build_body, calc_max_dt, palette_from_list,
+)
+from evosoro_tpu.core.rollout import init_state, rollout  # noqa: E402
+from evosoro_tpu.core.types import (  # noqa: E402
+    EnvParams, SimParams, evosoro_default_palette,
+)
+from evosoro_tpu.parallel.mesh import scaling_report  # noqa: E402
+
+
+def main():
+    N = 6
+    STEPS = 40
+    PER_DEV = 4
+
+    rng = np.random.default_rng(0)
+    structure = rng.integers(1, 5, size=(N, N, N)).astype(np.int32)
+    phase = rng.uniform(-1, 1, size=(N, N, N))
+    body = build_body(
+        structure, palette_from_list(evosoro_default_palette()),
+        phase_offset=phase,
+    )
+    sim = SimParams()
+    env = EnvParams()
+    dt = calc_max_dt(body) * sim.dt_frac
+    state = init_state(body)
+
+    def make_batch(d):
+        return jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (PER_DEV * d,) + x.shape), state
+        )
+
+    def fn(batch):
+        def one(s):
+            res = rollout(body, sim, env, num_steps=STEPS, dt=dt, state=s)
+            return res.final_dist
+
+        return jax.vmap(one)(batch)
+
+    report = scaling_report(fn, make_batch, reps=3)
+    eff = report.get("efficiency", {})
+    out = {
+        "metric": "weak_scaling_efficiency",
+        "throughput_per_devcount": {
+            str(k): round(v, 2) for k, v in report.items() if k != "efficiency"
+        },
+        "efficiency": {str(k): round(v, 3) for k, v in eff.items()},
+        "platform": jax.devices()[0].platform,
+        "n_devices": jax.device_count(),
+    }
+    if jax.devices()[0].platform == "cpu":
+        out["note"] = (
+            "virtual CPU devices time-slice the host cores: this validates "
+            "the sharded program structure, not ICI efficiency — run on a "
+            "pod slice for the >=85% target"
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,65 @@ def build_reference(cache_dir: Path | str = DEFAULT_CACHE, fork: str = "base",
     return binary if binary.exists() else None
 
 
+def build_dump(cache_dir: Path | str = DEFAULT_CACHE, fork: str = "base",
+               timeout: int = 300) -> Path | None:
+    """Compile tools/ref_dump_main.cpp against the (cached) reference lib:
+    a per-step full-state dump driver for bit-level parity tests."""
+    cache_dir = Path(cache_dir)
+    binary = cache_dir / fork / "voxelyze_dump"
+    if binary.exists():
+        return binary
+    if build_reference(cache_dir, fork=fork, timeout=timeout) is None:
+        return None
+    dest = cache_dir / fork / "src"
+    src_cpp = Path(__file__).parent / "ref_dump_main.cpp"
+    try:
+        lib = next((dest / "Voxelyze").glob("libvoxelyze*.a"))
+        libname = lib.stem[3:]
+        subprocess.run(
+            ["g++", "-O3", "-std=c++11", f"-I{dest/'Voxelyze'}",
+             f"-I{dest/'Voxelyze'/'Utils'}", str(src_cpp),
+             f"-L{dest/'Voxelyze'}", f"-l{libname}", "-lm", "-lstdc++", "-lz",
+             "-o", str(binary)],
+            check=True, capture_output=True, timeout=timeout,
+        )
+    except (subprocess.SubprocessError, OSError, StopIteration):
+        return None
+    return binary if binary.exists() else None
+
+
+def run_dump(vxa_path, max_steps: int, binary: Path | None = None,
+             fork: str = "base", timeout: float = 600.0):
+    """Run the dump driver; returns (times, pos[S,N,3], scale[S,N]) numpy
+    arrays in the engine's voxel order (occupied cells, x-fastest scan of
+    the VXC data — reference: VX_Sim.cpp Import order)."""
+    import numpy as np
+
+    binary = binary or build_dump(fork=fork)
+    if binary is None:
+        raise RuntimeError("dump driver unavailable")
+    vxa_path = Path(vxa_path)
+    with tempfile.TemporaryDirectory(prefix="voxelyze_dump_") as td:
+        out = Path(td) / "dump.txt"
+        subprocess.run(
+            [str(binary), str(vxa_path), str(out), str(max_steps)],
+            capture_output=True, timeout=timeout, check=False,
+        )
+        times, poss, scales = [], [], []
+        for line in out.read_text().splitlines():
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split(" B ")[0].split()
+            t = float(parts[1])
+            nvox = int(parts[2])
+            vals = np.array(parts[3:3 + 4 * nvox], dtype=np.float64)
+            vals = vals.reshape(nvox, 4)
+            times.append(t)
+            poss.append(vals[:, :3])
+            scales.append(vals[:, 3])
+    return np.array(times), np.array(poss), np.array(scales)
+
+
 def run_reference(vxa_path, binary: Path | None = None, fork: str = "base",
                   timeout: float = 300.0) -> dict:
     """Run the reference engine on a VXA; returns the parsed fitness dict.
