@@ -21,6 +21,15 @@ from evosoro_tpu.core.types import Material, MaterialPalette, VoxelBody
 
 def palette_from_list(materials: Sequence[Material], dtype=jnp.float32) -> MaterialPalette:
     """Pack Material entries into id-indexed arrays. Index 0 = empty space."""
+    from evosoro_tpu.core.types import MDL_DATA, validate_ss_data
+
+    # MDL_DATA entries derive their scalar fields from the point tables
+    # (reference: ValidateSSData is called at material load,
+    # VX_Object.cpp:1409)
+    materials = [
+        validate_ss_data(m) if m.mat_model == MDL_DATA else m
+        for m in materials
+    ]
     n = max(m.id for m in materials) + 1
     f = {k: np.zeros(n) for k in (
         "elastic_mod", "density", "poisson", "cte", "u_static", "u_dynamic",
@@ -40,10 +49,41 @@ def palette_from_list(materials: Sequence[Material], dtype=jnp.float32) -> Mater
         f["fail_strain"][m.id] = m.fail_strain
         f["mat_temp_phase"][m.id] = m.mat_temp_phase
         mat_model[m.id] = m.mat_model
+    # MDL_DATA tables, lane-padded to the palette-wide max point count.
+    # Pad strain with a +1e30 sentinel so padded segments never match the
+    # step()'s segment search; pad stress with the last value.
+    ss = {}
+    if any(m.mat_model == MDL_DATA for m in materials):
+        P = max(len(m.ss_strain) for m in materials if m.mat_model == MDL_DATA)
+        ss_strain = np.full((n, P), 1e30)
+        ss_stress = np.zeros((n, P))
+        ss_last_slope = np.zeros(n)
+        ss_last_stress = np.zeros(n)
+        ss_strain[:, 0] = 0.0
+        for m in materials:
+            if m.mat_model != MDL_DATA:
+                continue
+            k = len(m.ss_strain)
+            ss_strain[m.id, :k] = m.ss_strain
+            ss_stress[m.id, :k] = m.ss_stress
+            ss_stress[m.id, k:] = m.ss_stress[-1]
+            ss_last_stress[m.id] = m.ss_stress[-1]
+            slope = (m.ss_stress[-1] - m.ss_stress[-2]) / (
+                m.ss_strain[-1] - m.ss_strain[-2])
+            # decreasing final slope → flat post-fail stress (ref :1522-1528)
+            ss_last_slope[m.id] = max(slope, 0.0) if (
+                m.ss_stress[-1] >= m.ss_stress[-2]) else 0.0
+        ss = dict(
+            ss_strain=jnp.asarray(ss_strain, dtype=dtype),
+            ss_stress=jnp.asarray(ss_stress, dtype=dtype),
+            ss_last_slope=jnp.asarray(ss_last_slope, dtype=dtype),
+            ss_last_stress=jnp.asarray(ss_last_stress, dtype=dtype),
+        )
     return MaterialPalette(
         **{k: jnp.asarray(v, dtype=dtype) for k, v in f.items()},
         mat_model=jnp.asarray(mat_model),
         num_materials=n - 1,
+        **ss,
     )
 
 
@@ -64,6 +104,7 @@ def build_body(
     growth_time=None,
     start_growth_time=None,
     stiffness=None,
+    cte_scale=None,
     stiffness_plasticity_rate=None,
     kp=None,
     ki=None,
@@ -96,6 +137,11 @@ def build_body(
     density = g(palette.density)
     poisson = g(palette.poisson)
     cte = g(palette.cte)
+    if cte_scale is not None:
+        # per-voxel CTE multiplier — carries the evaluator's per-material
+        # actuation-variance noise (reference jitters the written palette's
+        # CTE per muscle material, read_write_voxelyze.py:243,267)
+        cte = cte * jnp.asarray(cte_scale, dtype=dtype)
     u_static = g(palette.u_static)
     u_dynamic = g(palette.u_dynamic)
 
@@ -198,13 +244,24 @@ def build_body(
     # nonlinear material models: static fast-path flag (LINEAR and
     # LINEAR_FAIL share the linear stress curve — VX_Object.cpp:1482-1495;
     # bond breakage bookkeeping is handled at the fitness layer, not here)
-    from evosoro_tpu.core.types import MDL_BILINEAR
+    from evosoro_tpu.core.types import MDL_BILINEAR, MDL_DATA
 
     try:
         mm = np.asarray(palette.mat_model)
-        all_linear = bool(np.all(mm != MDL_BILINEAR))
+        all_linear = bool(np.all((mm != MDL_BILINEAR) & (mm != MDL_DATA)))
     except Exception:  # palette is traced (e.g. built under jit) → general path
         all_linear = False
+
+    # MDL_DATA per-voxel tables (hot loop stays gather-free)
+    ss_fields = {}
+    if palette.ss_strain is not None:
+        ss_fields = dict(
+            ss_strain_vox=palette.ss_strain[structure],
+            ss_stress_vox=palette.ss_stress[structure],
+            ss_fail_strain_vox=g(palette.fail_strain),
+            ss_last_stress_vox=g(palette.ss_last_stress),
+            ss_last_slope_vox=g(palette.ss_last_slope),
+        )
 
     return VoxelBody(
         occ=occ,
@@ -281,6 +338,7 @@ def build_body(
         using_final_voxel_size=final_voxel_size is not None,
         using_growth_time=growth_time is not None,
         using_start_growth_time=start_growth_time is not None,
+        **ss_fields,
     )
 
 

@@ -91,13 +91,15 @@ def _from_nbr(a, d):
     return jnp.roll(a, 1, axis=d)
 
 
-def _vox_mat_stress(strain, e_mod, mat_model, plastic_mod, yield_stress):
+def _vox_mat_stress(strain, e_mod, mat_model, plastic_mod, yield_stress,
+                    ss=None):
     """Material-model stress at a strain (reference: VX_Object.cpp:1472-1535
     GetModelStress). MDL_LINEAR / MDL_LINEAR_FAIL are the linear curve
     (failure only sets bookkeeping flags); MDL_BILINEAR kinks at the yield
-    point. MDL_DATA's arbitrary point tables are not yet supported (none of
-    the reference experiments use them)."""
-    from evosoro_tpu.core.types import MDL_BILINEAR
+    point; MDL_DATA interpolates the material's stress-strain point table
+    (ss = per-voxel tables gathered at body build, None when no palette
+    entry is MDL_DATA)."""
+    from evosoro_tpu.core.types import MDL_BILINEAR, MDL_DATA
 
     linear = e_mod * strain
     yield_strain = _safe_div(yield_stress, e_mod)
@@ -106,7 +108,28 @@ def _vox_mat_stress(strain, e_mod, mat_model, plastic_mod, yield_stress):
         yield_stress + plastic_mod * (strain - yield_strain),
         linear,
     )
-    return jnp.where(mat_model == MDL_BILINEAR, bilinear, linear)
+    out = jnp.where(mat_model == MDL_BILINEAR, bilinear, linear)
+    if ss is not None:
+        xs, ys = ss["xs"], ss["ys"]  # (..., P)
+        P = xs.shape[-1]
+        s = strain[..., None]
+        # first segment i with xs[i+1] > strain; padded entries are +1e30 so
+        # they never count, and strain < 0 lands in segment 0 → linear
+        # extrapolation of the first segment = Elastic_Mod·strain
+        # (reference: VX_Object.cpp:1505-1517)
+        seg = jnp.sum(
+            (xs[..., 1:P - 1] <= s).astype(jnp.int32), axis=-1
+        )  # (...,) in [0, P-2]
+        oh = jax.nn.one_hot(seg, P - 1, dtype=strain.dtype)  # (..., P-1)
+        x1 = jnp.sum(oh * xs[..., :-1], axis=-1)
+        x2 = jnp.sum(oh * xs[..., 1:], axis=-1)
+        y1 = jnp.sum(oh * ys[..., :-1], axis=-1)
+        y2 = jnp.sum(oh * ys[..., 1:], axis=-1)
+        interp = y1 + _safe_div(strain - x1, x2 - x1) * (y2 - y1)
+        past = ss["last_stress"] + ss["last_slope"] * (strain - ss["fail"])
+        data = jnp.where(strain < ss["fail"], interp, past)
+        out = jnp.where(mat_model == MDL_DATA, data, out)
+    return out
 
 
 def _volume_effects_coupling(bonds, body: VoxelBody):
@@ -278,19 +301,28 @@ def _bond_axis_forces(d, state: SimState, body: VoxelBody, sim: SimParams,
         side1 = (body.e_mod, body.mat_model_vox, body.plastic_mod,
                  body.yield_stress)
         side2 = tuple(_nbr(a, d) for a in side1)
+        ss1 = ss2 = None
+        if body.ss_strain_vox is not None:
+            ss1 = dict(
+                xs=body.ss_strain_vox, ys=body.ss_stress_vox,
+                fail=body.ss_fail_strain_vox,
+                last_stress=body.ss_last_stress_vox,
+                last_slope=body.ss_last_slope_vox,
+            )
+            ss2 = {k: _nbr(v, d) for k, v in ss1.items()}
         sv1 = strain
         sv2 = strain
-        s1 = _vox_mat_stress(sv1, *side1)
-        s2 = _vox_mat_stress(sv2, *side2)
+        s1 = _vox_mat_stress(sv1, *side1, ss=ss1)
+        s2 = _vox_mat_stress(sv2, *side2, ss=ss2)
         for _ in range(3):
             ssum = s1 + s2
             converged = jnp.abs(s1 - s2) <= 0.0005 * jnp.abs(ssum)
             sv1 = jnp.where(converged, sv1, 2.0 * _safe_div(s2, ssum) * sv1)
             sv2 = jnp.where(converged, sv2, 2.0 * _safe_div(s1, ssum) * sv2)
-            s1 = _vox_mat_stress(sv1, *side1)
-            s2 = _vox_mat_stress(sv2, *side2)
+            s1 = _vox_mat_stress(sv1, *side1, ss=ss1)
+            s2 = _vox_mat_stress(sv2, *side2, ss=ss2)
         hom = body.bond_homogeneous[d]
-        stress_hom = _vox_mat_stress(strain, *side1)
+        stress_hom = _vox_mat_stress(strain, *side1, ss=ss1)
         stress = jnp.where(hom, stress_hom, 0.5 * (s1 + s2))
         sv1 = jnp.where(hom, strain, sv1)
         sv2 = jnp.where(hom, strain, sv2)

@@ -26,6 +26,9 @@ DOF_ALL = 63
 # Material models (reference: VX_Object.h MatModel enum)
 MDL_LINEAR, MDL_LINEAR_FAIL, MDL_BILINEAR, MDL_DATA = 0, 1, 2, 3
 
+# Failure models (reference: VX_Object.h FailModel enum)
+FM_MAXSTRESS, FM_MAXSTRAIN = 0, 1
+
 # Stop conditions (reference: VX_Enums.h:55-65 StopCondition)
 (SC_NONE, SC_MAX_TIME_STEPS, SC_MAX_SIM_TIME, SC_TEMP_CYCLES,
  SC_CONST_MAXENERGY, SC_MIN_KE, SC_MIN_MAXMOVE,
@@ -161,6 +164,56 @@ class Material:
     fail_strain: float = 0.0
     mat_temp_phase: float = 0.0
     rgba: tuple = (0.5, 0.5, 0.5, 1.0)
+    # MDL_DATA stress-strain point tables (reference: VX_Object.h DStrain /
+    # DStress; loaded from the <SSData> block). First point must be (0, 0),
+    # strains strictly increasing. `validate_ss_data` derives the implied
+    # elastic_mod / yield_stress / fail_strain fields exactly like
+    # CVXC_Material::ValidateSSData (VX_Object.cpp:1545-1605).
+    ss_strain: tuple = ()
+    ss_stress: tuple = ()
+
+
+def validate_ss_data(mat: "Material") -> "Material":
+    """Replicate ValidateSSData (reference: VX_Object.cpp:1545-1605): check
+    the point series and derive the scalar material fields from it."""
+    import dataclasses as _dc
+
+    xs = tuple(float(v) for v in mat.ss_strain)
+    ys = tuple(float(v) for v in mat.ss_stress)
+    if len(xs) < 2 or len(ys) < 2:
+        raise ValueError("MDL_DATA needs more than one stress-strain point")
+    if len(xs) != len(ys):
+        raise ValueError("strain and stress vectors are unequal length")
+    if xs[0] != 0.0:
+        raise ValueError("first stress-strain point must be (0, 0)")
+    for a, b in zip(xs, xs[1:]):
+        if a >= b:
+            raise ValueError("strain values must be strictly increasing")
+    n = len(xs)
+    elastic_mod = ys[1] / xs[1]  # first-segment slope; also compressive E
+    # 0.2%-offset yield point (VX_Object.cpp:1580-1604)
+    mo, bo = elastic_mod, -0.002 * elastic_mod
+    yield_stress = ys[-1]
+    for i in range(1, n - 1):
+        x1, x2, y1, y2 = xs[i], xs[i + 1], ys[i], ys[i + 1]
+        mt = (y2 - y1) / (x2 - x1)
+        bt = y1 - mt * x1
+        if mo != mt:
+            xint = (bt - bo) / (mo - mt)
+            if x1 < xint < x2:
+                yield_stress = y1 + (xint - x1) / (x2 - x1) * (y2 - y1)
+                break
+    return _dc.replace(
+        mat,
+        ss_strain=xs,
+        ss_stress=ys,
+        elastic_mod=elastic_mod,
+        plastic_mod=elastic_mod,  # "Plastic_Mod is meaningless" (ref)
+        fail_stress=0.0,
+        fail_strain=xs[-1],
+        fail_model=FM_MAXSTRAIN,
+        yield_stress=yield_stress,
+    )
 
 
 @struct.dataclass
@@ -184,6 +237,13 @@ class MaterialPalette:
     fail_strain: Any
     mat_temp_phase: Any
     num_materials: int = struct.field(pytree_node=False, default=0)
+    # MDL_DATA point tables, lane-padded to a common P across the palette
+    # (pad strain = +1e30 sentinel, pad stress = last value). None when no
+    # palette entry is MDL_DATA.
+    ss_strain: Any = None  # (n_mat, P)
+    ss_stress: Any = None  # (n_mat, P)
+    ss_last_slope: Any = None  # (n_mat,) post-fail extrapolation slope (≥0)
+    ss_last_stress: Any = None  # (n_mat,) stress at the last data point
 
 
 def evosoro_default_palette(
@@ -293,6 +353,15 @@ class VoxelBody:
     yield_stress: Any = None  # (X,Y,Z)
     mat_temp_phase: Any = None  # (X,Y,Z) per-material temperature phase [rad]
     mat_model_vox: Any = None  # (X,Y,Z) int32 MDL_* id
+
+    # MDL_DATA per-voxel stress-strain tables (gathered from the palette at
+    # build time so the hot loop is gather-free; reference model:
+    # VX_Object.cpp:1499-1532 GetModelStress MDL_DATA branch)
+    ss_strain_vox: Any = None  # (X,Y,Z,P)
+    ss_stress_vox: Any = None  # (X,Y,Z,P)
+    ss_fail_strain_vox: Any = None  # (X,Y,Z) last data point strain
+    ss_last_stress_vox: Any = None  # (X,Y,Z)
+    ss_last_slope_vox: Any = None  # (X,Y,Z) 0 when the final slope decreases
 
     # per-voxel evolved-control parameter arrays (reference:
     # VXS_Voxel.h:105-110, populated at import VX_Sim.cpp:977-991).

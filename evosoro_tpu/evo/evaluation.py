@@ -146,10 +146,16 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         col_damping_z=float(sim_params.col_damping_z),
     )
     flags = dict(
-        gravity=bool(env_flags_src.gravity_enabled),
-        floor=bool(env_flags_src.floor_enabled),
+        gravity=bool(env_flags_src.gravity_enabled
+                     and not env_flags_src.fluid_environment),
+        floor=bool(env_flags_src.floor_enabled
+                   and not env_flags_src.fluid_environment),
         sticky=bool(env_flags_src.sticky_floor),
         temp=bool(env_flags_src.temp_enabled and env_flags_src.vary_temp_enabled),
+        temp_enabled=bool(env_flags_src.temp_enabled),
+        vary_temp=bool(env_flags_src.vary_temp_enabled),
+        volume=bool(sim_params.volume_effects_enabled),
+        fluid=bool(env_flags_src.fluid_environment),
         # devo code paths follow which per-voxel fields the genome evolves
         # (build_body sets the matching using_* statics from the same kwargs)
         use_init_size="initial_voxel_size" in field_names,
@@ -167,7 +173,9 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
             structure, palette, lattice_dim=lattice_dim, **voxel_fields
         )
         dt = calc_max_dt(body) * dt_frac
-        state = init_state(body)
+        state = init_state(
+            body, volume_effects=sim_params.volume_effects_enabled
+        )
         sp = fr.pack_state_single(state, Vp)
         bp = fr.pack_body(body, Vp)[0]
         total_mass = jnp.sum(body.mass)
@@ -334,12 +342,19 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
         for k, v in env_over.items():
             setattr(this_env, k, v)
         if env.actuation_variance > 0:
-            # noise injection into muscle CTE per evaluation
-            # (reference: read_write_voxelyze.py:243, 267) is modeled as a
-            # per-individual temp_amp jitter with equal variance
-            this_env.temp_amp = this_env.temp_amp * (
-                1.0 + np.random.normal(0, env.actuation_variance)
-            )
+            # noise injection into muscle CTE per evaluation: the reference
+            # writes CTE·(1 + U(0, actuation_variance)) into the palette with
+            # an INDEPENDENT uniform draw per muscle material
+            # (read_write_voxelyze.py:243, 267); replicate as a per-voxel
+            # CTE multiplier field keyed on material id
+            scale = np.ones(tuple(grid), dtype=np.float32)
+            struct_arr = fields["structure"]
+            for m in _experiment_palette(env):
+                if m.cte != 0.0:
+                    scale[struct_arr == m.id] = 1.0 + np.random.uniform(
+                        0, env.actuation_variance
+                    )
+            fields["cte_scale"] = scale
         env_params = this_env.to_env_params()
         if any(k in fields for k in _DEVO_KEYS):
             # the genome's devo outputs are normalized sigmoids; the engine

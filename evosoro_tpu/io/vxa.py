@@ -233,8 +233,49 @@ def _text(el, tag, default=None, cast=float):
         return default
 
 
-def _parse_layers_int(struct_el, tag, shape):
-    """Parse digit-per-voxel CDATA layers (material ids)."""
+def _decode_layer(data: str, compression: str, n_expected: int) -> np.ndarray:
+    """Decode one <Layer> CDATA string to per-voxel byte values.
+
+    Mirrors the reference's compression dispatch
+    (VX_Object.cpp:1748-1830 CVXC_Structure::ReadXML):
+
+    - ``ASCII_READABLE``: one char per voxel, value = ord(ch) - 48
+    - ``ZLIB``: base64 text wrapping a zlib stream of raw id bytes
+    - ``QT_ZLIB`` (deprecated): base64 wrapping qCompress output, which
+      prefixes the zlib stream with a 4-byte big-endian expected length
+    - ``RAW_DATA`` (deprecated): raw id bytes stored as chars
+    - ``BASE64`` / missing attribute: base64 of raw id bytes
+      (the reference's fall-through default)
+
+    Anything else raises instead of silently mis-parsing.
+    """
+    import base64
+    import zlib
+
+    if compression == "ASCII_READABLE":
+        vals = np.frombuffer(data.encode("latin-1"), dtype=np.uint8)
+        return vals.astype(np.int32) - 48
+    if compression == "ZLIB":
+        raw = zlib.decompress(base64.b64decode(data))
+        return np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+    if compression == "QT_ZLIB":
+        blob = base64.b64decode(data)
+        raw = zlib.decompress(blob[4:])  # skip qCompress length header
+        return np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+    if compression == "RAW_DATA":
+        vals = np.frombuffer(data.encode("latin-1"), dtype=np.uint8)
+        return vals.astype(np.int32)
+    if compression in ("", "BASE64"):
+        raw = base64.b64decode(data)
+        return np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+    raise ValueError(
+        f"unknown VXC <Structure> Compression={compression!r} "
+        f"(expected layer of {n_expected} voxels)"
+    )
+
+
+def _parse_layers_int(struct_el, tag, shape, compression="ASCII_READABLE"):
+    """Parse per-voxel CDATA layers (material ids) honoring Compression."""
     X, Y, Z = shape
     out = np.zeros(shape, dtype=np.int32)
     el = struct_el.find(tag)
@@ -242,11 +283,14 @@ def _parse_layers_int(struct_el, tag, shape):
         return None
     for z, layer in enumerate(el.findall("Layer")):
         data = (layer.text or "").strip()
-        for i, ch in enumerate(data):
-            x, y = i % X, i // X
-            # ASCII_READABLE stores value+48 ('0'-'9' for ids 0-9,
-            # reference: VX_Object.cpp:1748-1830)
-            out[x, y, z] = ord(ch) - 48
+        vals = _decode_layer(data, compression, X * Y)
+        if vals.size != X * Y:
+            raise ValueError(
+                f"<{tag}> layer {z}: got {vals.size} voxels, expected {X * Y} "
+                "(reference: VX_Object.cpp:1801 size check)"
+            )
+        # flat index = x + X*y (reference: read_write_voxelyze.py:353-357)
+        out[:, :, z] = vals.reshape(Y, X).T
     return out
 
 
@@ -275,10 +319,27 @@ def _parse_material(mat_el) -> Material:
         _text(disp, "Blue", 0.5),
         _text(disp, "Alpha", 1.0),
     )
+    # MDL_DATA stress-strain point tables (reference: VX_Object.cpp:1368-1390)
+    ss_strain: tuple = ()
+    ss_stress: tuple = ()
+    ssdata = mech.find("SSData") if mech is not None else None
+    if ssdata is not None:
+        n_pts = _text(ssdata, "NumDataPts", 0, cast=int)
+        strain_el = ssdata.find("StrainData")
+        stress_el = ssdata.find("StressData")
+        if strain_el is not None and stress_el is not None:
+            ss_strain = tuple(
+                float(e.text) for e in strain_el.findall("Strain")[:n_pts]
+            )
+            ss_stress = tuple(
+                float(e.text) for e in stress_el.findall("Stress")[:n_pts]
+            )
     return Material(
         id=int(mat_el.get("ID", "0")),
         name=_text(mat_el, "Name", "", cast=str),
         mat_model=_text(mech, "MatModel", 0, cast=int),
+        ss_strain=ss_strain,
+        ss_stress=ss_stress,
         elastic_mod=_text(mech, "Elastic_Mod", 1e7),
         plastic_mod=_text(mech, "Plastic_Mod", 0.0),
         yield_stress=_text(mech, "Yield_Stress", 0.0),
@@ -489,9 +550,16 @@ def load_vxa(path) -> VXADocument:
     X = _text(struct_el, "X_Voxels", 1, cast=int)
     Y = _text(struct_el, "Y_Voxels", 1, cast=int)
     Z = _text(struct_el, "Z_Voxels", 1, cast=int)
-    structure = _parse_layers_int(struct_el, "Data", (X, Y, Z))
+    compression = struct_el.get("Compression", "")
+    structure = _parse_layers_int(struct_el, "Data", (X, Y, Z), compression)
     if structure is None:
         structure = np.zeros((X, Y, Z), dtype=np.int32)
+    if structure.min() < 0 or structure.max() > len(materials):
+        raise ValueError(
+            f"VXC structure has material ids outside palette "
+            f"[0, {len(materials)}]: range "
+            f"[{int(structure.min())}, {int(structure.max())}]"
+        )
 
     voxel_arrays = {}
     for tag in VOXEL_ARRAY_TAGS:
@@ -524,14 +592,24 @@ def load_vxa(path) -> VXADocument:
 # Writing (mirrors tools/read_write_voxelyze.py:40-407)
 # ---------------------------------------------------------------------------
 
-def _layers_int(arr) -> str:
+def _layers_int(arr, compression: str = "ASCII_READABLE") -> str:
+    """Encode material-id layers; mirrors VX_Object.cpp:1658-1706 WriteXML."""
+    import base64
+    import zlib
+
     X, Y, Z = arr.shape
     out = []
     for z in range(Z):
-        chars = "".join(
-            str(int(arr[x, y, z])) for y in range(Y) for x in range(X)
-        )
-        out.append(f"<Layer><![CDATA[{chars}]]></Layer>")
+        flat = np.asarray(arr[:, :, z]).T.reshape(-1).astype(np.uint8)
+        if compression == "ASCII_READABLE":
+            data = (flat + 48).tobytes().decode("latin-1")
+        elif compression == "ZLIB":
+            data = base64.b64encode(zlib.compress(flat.tobytes())).decode()
+        elif compression == "BASE64":
+            data = base64.b64encode(flat.tobytes()).decode()
+        else:
+            raise ValueError(f"unsupported write Compression={compression!r}")
+        out.append(f"<Layer><![CDATA[{data}]]></Layer>")
     return "\n".join(out)
 
 
@@ -550,6 +628,17 @@ def _material_xml(m: Material) -> str:
     temp_phase = (
         f"<TempPhase>{m.mat_temp_phase}</TempPhase>\n" if m.mat_temp_phase else ""
     )
+    ssdata = ""
+    if m.ss_strain:
+        # reference writer: VX_Object.cpp:1299-1310 (SSData precedes the
+        # scalar fields inside <Mechanical>)
+        strains = "\n".join(f"<Strain>{v}</Strain>" for v in m.ss_strain)
+        stresses = "\n".join(f"<Stress>{v}</Stress>" for v in m.ss_stress)
+        ssdata = (
+            f"<SSData>\n<NumDataPts>{len(m.ss_strain)}</NumDataPts>\n"
+            f"<StrainData>\n{strains}\n</StrainData>\n"
+            f"<StressData>\n{stresses}\n</StressData>\n</SSData>\n"
+        )
     return f"""<Material ID="{m.id}">
 <MatType>0</MatType>
 <Name>{m.name}</Name>
@@ -561,7 +650,7 @@ def _material_xml(m: Material) -> str:
 </Display>
 <Mechanical>
 <MatModel>{m.mat_model}</MatModel>
-<Elastic_Mod>{m.elastic_mod}</Elastic_Mod>
+{ssdata}<Elastic_Mod>{m.elastic_mod}</Elastic_Mod>
 <Plastic_Mod>{m.plastic_mod}</Plastic_Mod>
 <Yield_Stress>{m.yield_stress}</Yield_Stress>
 <FailModel>{m.fail_model}</FailModel>
@@ -590,6 +679,7 @@ def write_vxa(
     time_between_traces: float = 0.0,
     extra_env_tags: str = "",
     lattice_dim: Optional[float] = None,
+    compression: str = "ASCII_READABLE",
 ):
     """Write a .vxa the reference `voxelyze` binary accepts unmodified."""
     sim = sim or SimParams()
@@ -759,12 +849,12 @@ def write_vxa(
 <Palette>
 {mats}
 </Palette>
-<Structure Compression="ASCII_READABLE">
+<Structure Compression="{compression}">
 <X_Voxels>{X}</X_Voxels>
 <Y_Voxels>{Y}</Y_Voxels>
 <Z_Voxels>{Z}</Z_Voxels>
 <Data>
-{_layers_int(structure)}
+{_layers_int(structure, compression)}
 </Data>
 {arrays}
 </Structure>

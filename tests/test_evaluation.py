@@ -117,6 +117,39 @@ def test_fused_evaluator_matches_jnp(_restore_env):
     np.testing.assert_allclose(fits_fused, fits_jnp, rtol=5e-3, atol=1e-6)
 
 
+def test_actuation_variance_independent_per_material(_restore_env, monkeypatch):
+    """actuation_variance must draw an INDEPENDENT U(0, av) CTE factor per
+    muscle material per evaluation (reference: read_write_voxelyze.py:243,267
+    writes a separate random.uniform per palette entry), not one shared
+    per-individual jitter."""
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "0"
+    sim, env = _sim_env()
+    env.actuation_variance = 0.5
+
+    draws = []
+    orig = np.random.uniform
+
+    def spy(lo, hi, *a, **k):
+        v = orig(lo, hi, *a, **k)
+        draws.append((lo, hi, v))
+        return v
+
+    monkeypatch.setattr(np.random, "uniform", spy)
+    pop = _make_pop(4)
+    draws.clear()  # ignore draws from population initialization
+    evaluate_all(sim, env, pop)
+
+    fits = _fitnesses(pop)
+    assert np.isfinite(fits).all()
+    av_draws = [d for d in draws if d[0] == 0 and d[1] == 0.5]
+    # default palette has three cte != 0 materials (3, 4, 6) → three
+    # independent draws per evaluated individual
+    assert len(av_draws) >= 3
+    assert len(av_draws) % 3 == 0
+    vals = [d[2] for d in av_draws]
+    assert len(set(vals)) == len(vals), "draws must be independent"
+
+
 class _GrowthGenotype(Genotype):
     """examples/growth.py's genotype at a small grid: per-voxel initial and
     final sizes as raw CPPN outputs mapped through the import-time devo

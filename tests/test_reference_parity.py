@@ -166,6 +166,31 @@ def test_midlife_freeze_parity(tmp_path):
     assert errs.max() < 5e-8
 
 
+def test_sticky_floor_parity(tmp_path):
+    """Sticky floor: voxels that touch the ground get all-DOF fixed for the
+    rest of the run (reference: VXS_Voxel.cpp:736-739). An actuated block
+    dropped on a sticky floor must freeze its contact layer identically in
+    both engines. The structure round-trips through the ZLIB layer codec
+    (VX_Object.cpp:1773-1785) to pin the round-2 silent-corruption fix."""
+    structure = np.zeros((2, 2, 2), dtype=np.int32)
+    structure[:, :, 0] = 3  # Active_+
+    structure[:, :, 1] = 1
+    sim = SimParams(stop_condition_value=0.08, init_cm_time=0.01)
+    env = EnvParams(sticky_floor=True)
+    vxa = tmp_path / "sticky.vxa"
+    write_vxa(vxa, structure, evosoro_default_palette(), sim=sim, env=env,
+              fitness_file_name="out.xml", save_traces=True,
+              time_between_traces=1e-6, compression="ZLIB")
+    doc = load_vxa(vxa)
+    assert np.array_equal(doc.structure, structure)  # ZLIB round-trip
+    assert doc.env.sticky_floor
+    res = run_reference(vxa, BINARY)
+    ref_trace = np.array(res["cm_trace"])
+    ours, dt = _our_com_rows(vxa, len(ref_trace) + 2)
+    errs = _aligned_error(ref_trace, ours, dt)
+    assert errs.max() < 2e-7
+
+
 def test_walking_robot_trajectory_and_fitness(tmp_path):
     """Multi-material walker with floor contact: trajectories track within
     a small fraction of a voxel; the divergence that does accumulate is the

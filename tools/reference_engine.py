@@ -22,7 +22,9 @@ import xml.etree.ElementTree as ET
 from pathlib import Path
 
 REFERENCE_ROOT = Path(os.environ.get("EVOSORO_REFERENCE", "/root/reference/evosoro"))
-DEFAULT_CACHE = Path(os.environ.get("EVOSORO_REF_CACHE", "/tmp/evosoro_ref"))
+# cache path is versioned: bump the suffix when the build recipe changes
+# (v2: -DUSE_ZLIB_COMPRESSION so the binary reads/writes ZLIB VXC layers)
+DEFAULT_CACHE = Path(os.environ.get("EVOSORO_REF_CACHE", "/tmp/evosoro_ref_v2"))
 
 # land_water fork has the fluid-drag model (reference: SURVEY.md §2.3)
 FORKS = {"base": "_voxcad", "land_water": "_voxcad_land_water"}
@@ -49,8 +51,19 @@ def build_reference(cache_dir: Path | str = DEFAULT_CACHE, fork: str = "base",
             dest.parent.mkdir(parents=True, exist_ok=True)
             shutil.copytree(src / "Voxelyze", dest / "Voxelyze")
             shutil.copytree(src / "voxelyzeMain", dest / "voxelyzeMain")
+            # the reference ships prebuilt objects/archives; drop them or
+            # make considers everything up-to-date and our CFLAGS (zlib
+            # codec define) never apply
+            for pat in ("*.o", "*.a", "*.d"):
+                for stale in (dest / "Voxelyze").rglob(pat):
+                    stale.unlink()
+        flags = "-O3 -Wall -std=c++11 -DUSE_ZLIB_COMPRESSION $(INCLUDE)"
         subprocess.run(
-            ["make", "-j2"], cwd=dest / "Voxelyze", check=True,
+            # the %.o rule compiles with $(CXXFLAGS) (Makefile:93), which the
+            # Makefile never sets; supply it (plus CFLAGS for the links) to
+            # enable the zlib layer codec (guarded in VX_Object.cpp:1773)
+            ["make", "-j4", f"CXXFLAGS={flags}", f"CFLAGS={flags}"],
+            cwd=dest / "Voxelyze", check=True,
             capture_output=True, timeout=timeout,
         )
         lib = next((dest / "Voxelyze").glob("libvoxelyze*.a"))
