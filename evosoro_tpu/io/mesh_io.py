@@ -111,3 +111,18 @@ def export_deformed_mesh(path: str, state, body, fmt: str | None = None):
     else:
         write_stl(path, verts, tris)
     return verts, tris
+
+
+def export_smooth_mesh(path: str, structure, lattice_dim: float = 1.0,
+                       fmt: str | None = None):
+    """Export the marching-tetrahedra smoothed surface of a voxel design
+    (the reference GUI's MarchCube.cpp capability)."""
+    from evosoro_tpu.viz.marching import smooth_structure_mesh
+
+    verts, tris = smooth_structure_mesh(structure, lattice_dim)
+    fmt = fmt or ("obj" if path.endswith(".obj") else "stl")
+    if fmt == "obj":
+        write_obj(path, verts, tris)
+    else:
+        write_stl(path, verts, tris)
+    return verts, tris

@@ -7,6 +7,10 @@ headless renderer: deformed-surface-mesh snapshots of any `SimState` to PNG,
 rollout trajectories to animated GIFs, and mesh export via `io.mesh_io` —
 all driven from recorded device arrays, no GUI toolkit."""
 
+from evosoro_tpu.viz.marching import (  # noqa: F401
+    marching_tetrahedra,
+    smooth_structure_mesh,
+)
 from evosoro_tpu.viz.render import (  # noqa: F401
     material_colors,
     render_state,

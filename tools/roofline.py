@@ -134,11 +134,15 @@ def count_step_flops(n=10, seed=0):
 # 2. measured VPU peak (f32 FMA micro-kernel)
 # ---------------------------------------------------------------------------
 
-def measure_vpu_peak(iters=4000, rows=256, cols=512, grid=1024):
+def measure_vpu_peak(iters=20000, rows=8, cols=256, grid=4096):
+    """Empirical f32 multiply-add speed-of-light: 16 independent FMA chains
+    on native-tile-sized arrays small enough to stay register/VMEM-resident
+    (large per-chain blocks turn the loop bandwidth-bound and measure VMEM,
+    not the ALUs)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    CHAINS = 8  # independent dependency chains → ILP-bound, not latency
+    CHAINS = 16
 
     def kernel(x_ref, o_ref):
         x = x_ref[:, :]
