@@ -105,9 +105,11 @@ def build_collision_system(
     occ_idx = np.argwhere(occ)
     flat_id[tuple(occ_idx.T)] = np.arange(len(occ_idx))
     n_occ = len(occ_idx)
-    # reach[v] = set of occupied voxels within num_hops bond hops of v,
-    # computed as boolean matrix powers of the lattice adjacency (n_occ ≤ 10³).
-    adj = np.zeros((n_occ, n_occ), dtype=bool)
+    # reach[v] = set of occupied voxels within num_hops bond hops of v.
+    # Sparse boolean powers of the lattice adjacency: the bond graph has
+    # ≤3·n edges, so csr products are ~O(n·deg^hops) — this runs per
+    # individual per generation in the evaluator, dense n² powers don't.
+    rows_a, cols_a = [], []
     for d in range(3):
         here = occ_idx[:, d] < occ.shape[d] - 1
         nbr = occ_idx.copy()
@@ -115,11 +117,28 @@ def build_collision_system(
         ok = here & (flat_id[tuple(np.clip(nbr, 0, np.array(occ.shape) - 1).T)] >= 0)
         a = flat_id[tuple(occ_idx[ok].T)]
         b = flat_id[tuple(nbr[ok].T)]
-        adj[a, b] = True
-        adj[b, a] = True
-    reach = np.eye(n_occ, dtype=bool)
-    for _ in range(num_hops):
-        reach = reach | (reach @ adj)
+        rows_a += [a, b]
+        cols_a += [b, a]
+    try:
+        import scipy.sparse as sp
+
+        rows_cat = np.concatenate(rows_a) if rows_a else np.zeros(0, np.int64)
+        cols_cat = np.concatenate(cols_a) if cols_a else np.zeros(0, np.int64)
+        adj = sp.csr_matrix(
+            (np.ones(len(rows_cat), dtype=bool), (rows_cat, cols_cat)),
+            shape=(n_occ, n_occ),
+        )
+        reach = sp.identity(n_occ, dtype=bool, format="csr")
+        for _ in range(num_hops):
+            reach = (reach + reach @ adj).astype(bool)
+        reach = reach.toarray()
+    except ImportError:  # dense fallback
+        adj = np.zeros((n_occ, n_occ), dtype=bool)
+        for a, b in zip(rows_a, cols_a):
+            adj[a, b] = True
+        reach = np.eye(n_occ, dtype=bool)
+        for _ in range(num_hops):
+            reach = reach | (reach @ adj)
 
     surf_flat = flat_id[tuple(idx.T)]  # (S0,) indices into occ arrays
     nearby = reach[np.ix_(surf_flat, surf_flat)]  # (S0, S0)
@@ -144,6 +163,23 @@ def build_collision_system(
         surf_mask=jnp.asarray(surf_mask),
         pair_a1=jnp.asarray(pair_a1),
         allowed=jnp.asarray(allowed),
+    )
+
+
+def pad_collision_system(cs: CollisionSystem, S: int) -> CollisionSystem:
+    """Zero-pad a CollisionSystem's surface dimension to S so heterogeneous
+    designs stack/vmap in one batch (pad entries are fully masked)."""
+    S0 = cs.surf_idx.shape[0]
+    if S0 == S:
+        return cs
+    if S0 > S:
+        raise ValueError(f"cannot shrink collision system {S0} -> {S}")
+    pad = S - S0
+    return CollisionSystem(
+        surf_idx=jnp.pad(cs.surf_idx, ((0, pad), (0, 0))),
+        surf_mask=jnp.pad(cs.surf_mask, (0, pad)),
+        pair_a1=jnp.pad(cs.pair_a1, ((0, pad), (0, pad))),
+        allowed=jnp.pad(cs.allowed, ((0, pad), (0, pad))),
     )
 
 

@@ -117,14 +117,16 @@ def _np_max_dt(structure, e_mod_default, stiffness, palette_np):
 
 def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
                          lattice_dim, sim_params, env_flags_src,
-                         interpret=False):
+                         interpret=False, with_collision=False):
     """Batched evaluation through the fused multi-step Pallas kernel
     (ops/fused_rollout.py): per-individual bodies, envs, dt and stop time
     ride per-robot channels, so the whole generation is ONE kernel launch
     with the rollout state VMEM-resident. ~10x the jnp-scan evaluator on
-    TPU for the default feature envelope."""
+    TPU for the default feature envelope. `with_collision`: the returned fn
+    takes a per-individual dense (B, Vp, Vp) pair-stiffness batch (built
+    host-side by `_dispatch_batch`) as a 6th argument."""
     key = ("fused", grid_shape, num_steps, tuple(sorted(field_names)),
-           float(lattice_dim), interpret)
+           float(lattice_dim), interpret, with_collision)
     if key in _compiled_cache:
         return _compiled_cache[key]
 
@@ -193,13 +195,16 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         row = row.at[fr._S_GAMP].set(q32(env1.growth_amplitude))
         return sp, bp, row
 
+    flags["collision"] = bool(with_collision)
+
     @jax.jit
-    def fn(structures, voxel_fields, _sim_unused, env_batch, stop_time):
+    def fn(structures, voxel_fields, _sim_unused, env_batch, stop_time,
+           collision_packed=None):
         sp, bp, rows = jax.vmap(
             lambda s, v, e: pack_one(s, v, e, stop_time)
         )(structures, voxel_fields, env_batch)
         out_state, out_stats = fr._fused_call(
-            sp, bp, rows, None,
+            sp, bp, rows, None, collision_packed,
             num_steps=num_steps,
             grid_shape=grid_shape,
             batch_block=8,
@@ -215,23 +220,29 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
     return fn
 
 
-def make_batched_evaluator(palette, grid_shape, num_steps, field_names, env_fields):
+def make_batched_evaluator(palette, grid_shape, num_steps, field_names,
+                           env_fields, with_collision=False):
     """Build + cache one jitted batched evaluation function.
 
     Keyed on (grid shape, steps, which per-voxel fields vary, which env
-    scalars vary) — everything else is baked into the trace.
+    scalars vary, collision) — everything else is baked into the trace.
+    `with_collision`: the returned fn takes a stacked per-individual
+    `CollisionSystem` (surface-padded to a common S) as a 6th argument.
     """
-    key = (grid_shape, num_steps, tuple(sorted(field_names)), tuple(sorted(env_fields)))
+    key = (grid_shape, num_steps, tuple(sorted(field_names)),
+           tuple(sorted(env_fields)), with_collision)
     if key in _compiled_cache:
         return _compiled_cache[key]
 
-    def eval_one(structure, voxel_fields, sim, env, stop_time):
+    def eval_one(structure, voxel_fields, sim, env, stop_time, colsys=None):
         body = build_body(
             structure,
             palette,
             lattice_dim=env.lattice_dim,
             **voxel_fields,
         )
+        if colsys is not None:
+            body = body.replace(collision=colsys)
         dt = calc_max_dt(body) * sim.dt_frac
         res = rollout(
             body,
@@ -249,10 +260,10 @@ def make_batched_evaluator(palette, grid_shape, num_steps, field_names, env_fiel
             ini_cm=res.ini_cm,
         )
 
-    fn = jax.jit(
-        jax.vmap(eval_one, in_axes=(0, 0, None, 0, None)),
-        static_argnames=(),
-    )
+    if with_collision:
+        fn = jax.jit(jax.vmap(eval_one, in_axes=(0, 0, None, 0, None, 0)))
+    else:
+        fn = jax.jit(jax.vmap(eval_one, in_axes=(0, 0, None, 0, None)))
     _compiled_cache[key] = fn
     return fn
 
@@ -275,6 +286,14 @@ def evaluate_all(
     (tools/evaluation.py:18) so optimizers are drop-in.
 
     `sim`/`env` are evo.base.Sim / evo.base.Env experiment containers.
+
+    `max_eval_time` / `time_to_try_again` are accepted for signature
+    compatibility but intentionally unused: they are the reference's
+    crashed-subprocess retry/give-up timers (tools/evaluation.py:107-119,
+    one OS process + fitness-file polling per robot). In-process batched
+    evaluation has no analog failure mode — a sim that the reference would
+    "time out" diverges instead, and the divergence latch already assigns
+    the worst fitness (same outcome, deterministic).
     """
     start = time.time()
     from evosoro_tpu.evo.logging import PrintLog
@@ -415,6 +434,28 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
     stop_time = float(sim.simulation_time)
     num_steps = int(np.ceil(stop_time / min_dt)) + 1
 
+    # self-collision: every reference experiment defaults
+    # SelfColEnabled=1 (base.py:24, read_write_voxelyze.py:73), so the
+    # evaluator must simulate it. The static tables are host-built per
+    # design (~0.1 s for a 10³ via sparse BFS) and either stacked as a
+    # padded CollisionSystem (jnp path) or packed to dense (B, Vp, Vp)
+    # pair fields (fused path).
+    with_collision = bool(sim_params.self_collisions_enabled)
+    collision_systems = None
+    if with_collision:
+        from evosoro_tpu.core.collision import build_collision_system
+
+        e_pal = np.asarray(palette.elastic_mod)
+        stiff = voxel_fields.get("stiffness")
+        collision_systems = []
+        for i in range(Bp):
+            st_i = structures[i]
+            e_vox = e_pal[st_i]
+            if stiff is not None:
+                # match build_body's per-voxel stiffness override rule
+                e_vox = np.where((stiff[i] > 0) & (st_i > 0), stiff[i], e_vox)
+            collision_systems.append(build_collision_system(st_i, e_vox, L))
+
     # fused-kernel fast path: default on TPU when the experiment is inside
     # the kernel envelope (EVOSORO_TPU_FUSED_EVAL=0 disables, =1 forces it in
     # interpreter mode off-TPU for testing)
@@ -428,24 +469,47 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
         structures[0], palette, lattice_dim=L,
         **{k: voxel_fields[k][0] for k in field_names},
     )
+    if with_collision:
+        probe_body = probe_body.replace(collision=collision_systems[0])
     can_fuse = fused_supports(probe_body, sim_params, all_env[0])
     use_fused = can_fuse and (force == "1" or (on_tpu and force != "0"))
 
+    extra_args = ()
     if use_fused:
         fn = make_fused_evaluator(
             palette, tuple(grid), num_steps, tuple(field_names), L,
             sim_params, all_env[0], interpret=not on_tpu,
+            with_collision=with_collision,
         )
+        if with_collision:
+            from evosoro_tpu.ops.fused_rollout import pack_collision
+
+            Vp = -(-int(np.prod(grid)) // 128) * 128
+            extra_args = (jnp.stack([
+                pack_collision(cs, Vp, tuple(grid))
+                for cs in collision_systems
+            ]),)
     else:
         fn = make_batched_evaluator(
-            palette, tuple(grid), num_steps, tuple(field_names), ("all",)
+            palette, tuple(grid), num_steps, tuple(field_names), ("all",),
+            with_collision=with_collision,
         )
+        if with_collision:
+            from evosoro_tpu.core.collision import pad_collision_system
+
+            s_max = max(cs.surf_idx.shape[0] for cs in collision_systems)
+            extra_args = (jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[pad_collision_system(cs, s_max)
+                  for cs in collision_systems],
+            ),)
     results = fn(
         jnp.asarray(structures),
         {k: jnp.asarray(v) for k, v in voxel_fields.items()},
         sim_params,
         env_batch,
         stop_time,
+        *extra_args,
     )
     results = jax.tree_util.tree_map(np.asarray, results)
 

@@ -68,6 +68,43 @@ def test_repulsion_when_overlapping():
     assert float(jnp.max(jnp.abs(f[1]))) == 0.0
 
 
+def test_padded_system_forces_identical():
+    """Surface padding (the evaluator's heterogeneous-design stacking) must
+    not change forces: pad entries are fully masked."""
+    from evosoro_tpu.core.collision import pad_collision_system
+
+    body = _two_block_body()
+    st = init_state(body)
+    pos = st.pos.at[2, 0, 0, 0].set(st.pos[0, 0, 0, 0] + 0.012)
+    f0 = collision_forces(pos, st.scale, body.collision)
+    padded = pad_collision_system(body.collision, body.collision.num_surface + 5)
+    f1 = collision_forces(pos, st.scale, padded)
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+
+
+def test_stacked_systems_vmap():
+    """Stacked padded CollisionSystems (the batched evaluator layout) give
+    the same per-design forces under vmap."""
+    import jax as _jax
+
+    from evosoro_tpu.core.collision import pad_collision_system
+
+    bodies = [_two_block_body(), _two_block_body()]
+    sts = [init_state(b) for b in bodies]
+    pos = [s.pos.at[2, 0, 0, 0].set(s.pos[0, 0, 0, 0] + 0.012) for s in sts]
+    s_max = max(b.collision.num_surface for b in bodies) + 3
+    stacked = _jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[pad_collision_system(b.collision, s_max) for b in bodies],
+    )
+    f_batch = _jax.vmap(collision_forces)(
+        jnp.stack(pos), jnp.stack([s.scale for s in sts]), stacked
+    )
+    f_single = collision_forces(pos[0], sts[0].scale, bodies[0].collision)
+    np.testing.assert_allclose(np.asarray(f_batch[0]), np.asarray(f_single),
+                               rtol=1e-6, atol=0)
+
+
 def test_rollout_with_collisions_stays_finite():
     body = _two_block_body()
     sim = SimParams(
