@@ -146,6 +146,9 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         slow_damping_z=float(sim_params.slow_damping_z),
         bond_damping_z=float(sim_params.bond_damping_z),
         col_damping_z=float(sim_params.col_damping_z),
+        freeze=float(sim_params.mid_life_freeze_time),
+        freeze_middle=0.5 * (float(sim_params.stop_condition_value)
+                             - float(sim_params.init_cm_time)),
     )
     flags = dict(
         gravity=bool(env_flags_src.gravity_enabled
@@ -158,6 +161,8 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         vary_temp=bool(env_flags_src.vary_temp_enabled),
         volume=bool(sim_params.volume_effects_enabled),
         fluid=bool(env_flags_src.fluid_environment),
+        equilibrium=bool(sim_params.equilibrium_mode),
+        freeze_on=float(sim_params.mid_life_freeze_time) > 0.0,
         # devo code paths follow which per-voxel fields the genome evolves
         # (build_body sets the matching using_* statics from the same kwargs)
         use_init_size="initial_voxel_size" in field_names,

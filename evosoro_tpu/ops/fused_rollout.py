@@ -145,7 +145,8 @@ _S_GRAV = 12  # gravitational acceleration
 _S_MINTF = 13  # min_temp_fact (scale lower bound / nominal)
 _S_GAMP = 14  # growth amplitude (scale upper bound - 1)
 _S_DRAGC = 15  # aggregate drag coefficient (fluid environments)
-C_STAT = 16
+_S_KE = 16  # 16..21: kinetic-energy history ring (equilibrium mode)
+C_STAT = 32
 
 
 def _cdiv(a, b):
@@ -542,14 +543,15 @@ def _pair_contact_forces(p3, s, a1, f32):
     full Vp×Vp pair field — `a1` is the dense pair-stiffness table whose
     zeros encode the lattice-nearby exclusion, the non-surface rows and the
     padding, so the extra pairs contribute exactly 0. The column broadcasts
-    are lane→sublane relayouts; the final Σ_j contraction rides the MXU as
-    a (1,Vp)×(Vp,Vp) dot.
+    are lane→sublane relayouts; the final Σ_j is a lane reduction + a
+    sublane→lane relayout (measured 1.8× faster than an MXU contraction at
+    HIGHEST precision and exactly f32 — a DEFAULT-precision MXU dot is the
+    same speed but rounds the pair forces to bf16).
 
     p3: tuple of 3 (1, Vp) position channels; s: (1, Vp) scale;
     a1: (Vp, Vp). Returns 3 (1, Vp) force channels (force ON voxel i).
     """
     Vq = s.shape[-1]
-    ones_row = jnp.ones((1, Vq), f32)
     shape2 = (Vq, Vq)
     col = [jnp.broadcast_to(p.reshape(Vq, 1), shape2) for p in p3]  # p_i
     row = [jnp.broadcast_to(p, shape2) for p in p3]  # p_j
@@ -562,13 +564,8 @@ def _pair_contact_forces(p3, s, a1, f32):
     )
     overlap = nom - dist
     mag = jnp.where(overlap > 0.0, a1 * overlap / dist, 0.0)
-    dims = (((1,), (1,)), ((), ()))
-    # HIGHEST: full-f32 MXU passes — default bf16-rounded inputs cost ~5e-6 m
-    # drift vs the VPU jnp path over a contact bounce (measured on-chip)
     return [
-        -jax.lax.dot_general(ones_row, mag * dc, dims,
-                             preferred_element_type=f32,
-                             precision=jax.lax.Precision.HIGHEST)
+        (-jnp.sum(mag * dc, axis=1, keepdims=True)).reshape(1, Vq)
         for dc in diff
     ]
 
@@ -670,6 +667,11 @@ def _make_kernel(
             # (Mosaic lowers neither dynamic_slice on values nor i1 gathers)
             ctrl_knots = [ctrl_ref[:, k, :] for k in range(n_knots)]
 
+        if flags.get("equilibrium"):
+            ke0 = tuple(stat(_S_KE + k) for k in range(6))
+        else:
+            ke0 = ()
+
         vol = bool(flags.get("volume"))
         if vol:
             e_mod_v = body_at(_B_EMOD)
@@ -686,7 +688,7 @@ def _make_kernel(
 
         def step(i, carry):
             (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
-             t, div_f, ini, capt_f, tsavg, csavg) = carry
+             t, div_f, ini, capt_f, tsavg, csavg, ke_hist) = carry
             small = tuple(sf > 0.5 for sf in small_f)
             div = div_f > 0.5
             capt = capt_f > 0.5
@@ -943,6 +945,23 @@ def _make_kernel(
             )
             quat = _qnorm_fast(tuple(q + s * dt for q, s in zip(quat, spin)))
 
+            if flags.get("equilibrium"):
+                # equilibrium mode (reference VX_Sim.cpp EnableEquilibrium):
+                # zero momenta whenever the 3-step KE sum decreases vs the
+                # previous 3 steps (core.step.py:949-967)
+                v2 = lin[0] * lin[0] + lin[1] * lin[1] + lin[2] * lin[2]
+                w2 = ang[0] * ang[0] + ang[1] * ang[1] + ang[2] * ang[2]
+                ke = 0.5 * jnp.sum(
+                    mass_inv * v2 + inertia_inv * w2, axis=1, keepdims=True
+                )
+                ke_hist = (ke,) + ke_hist[:5]
+                decreasing = (
+                    ke_hist[0] + ke_hist[1] + ke_hist[2]
+                    < ke_hist[3] + ke_hist[4] + ke_hist[5]
+                )
+                lin = [jnp.where(decreasing, 0.0, l) for l in lin]
+                ang = tuple(jnp.where(decreasing, 0.0, a) for a in ang)
+
             # ---- actuation + linear development (VXS_Voxel.cpp:224-341;
             # mid-life freeze and ballistic devo are outside the fused
             # envelope, so their terms are identically zero here) ----
@@ -974,7 +993,16 @@ def _make_kernel(
             dev_temp_fact = dev_phase = dev_ampdamp = None
             if flags["use_growth_t"] or flags["use_final_size"]:
                 growing = (t >= start_gt) & (growth_t > 0)
-                eff_t = jnp.minimum(t, start_gt + growth_t)
+                # mid-life development freeze pauses the effective clock
+                # (FrozenTimeAdj, core.step.py:641-656); freeze=0 reduces to
+                # the plain ramp
+                freeze = sc.get("freeze", 0.0)
+                middle = sc.get("freeze_middle", 0.0)
+                frozen_adj = jnp.clip(t - (middle - 0.5 * freeze),
+                                      0.0, freeze)
+                eff_t = (
+                    jnp.minimum(t, start_gt + growth_t + freeze) - frozen_adj
+                )
                 kdev = jnp.where(
                     growing, _safe_div(eff_t - start_gt, growth_t), 0.0
                 )
@@ -997,6 +1025,18 @@ def _make_kernel(
                     * cte
                 )
                 ctrl = jnp.where((t >= init_cm) & (tper != 0), ctrl, 0.0)
+                if flags.get("freeze_on"):
+                    # FreezeInitialized: actuation zeroed for the first
+                    # InitCmTime of the freeze window (core.step.py:692-705)
+                    freeze = sc["freeze"]
+                    middle = sc["freeze_middle"]
+                    fs = middle - 0.5 * freeze
+                    freeze_uninit = (
+                        (t > fs)
+                        & (t < middle + 0.5 * freeze)
+                        & (t < fs + init_cm)
+                    )
+                    ctrl = jnp.where(freeze_uninit, 0.0, ctrl)
             else:
                 ctrl = jnp.zeros_like(scale)
 
@@ -1063,14 +1103,15 @@ def _make_kernel(
                 capt.astype(f32),
                 fzt(carry[14], tsavg_new) if vol else (),
                 fzt(carry[15], csavg_new) if vol else (),
+                fzt(carry[16], ke_hist) if flags.get("equilibrium") else (),
             )
             return carry_new
 
         carry = (pos0, quat0, lin0, ang0, scale0, small0, lp20, la10, la20,
-                 maxs0, t0, div0, ini0, capt0, tsavg0, csavg0)
+                 maxs0, t0, div0, ini0, capt0, tsavg0, csavg0, ke0)
         carry = jax.lax.fori_loop(0, num_steps, step, carry)
         (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
-         t, div_f, ini, capt_f, tsavg_f, csavg_f) = carry
+         t, div_f, ini, capt_f, tsavg_f, csavg_f, ke_f) = carry
 
         # ---- write back ----
         for c in range(3):
@@ -1103,6 +1144,9 @@ def _make_kernel(
         for c in range(3):
             stats_out[:, _S_INICM + c:_S_INICM + c + 1] = ini[c]
         stats_out[:, _S_CAPT:_S_CAPT + 1] = capt_f
+        if flags.get("equilibrium"):
+            for k in range(6):
+                stats_out[:, _S_KE + k:_S_KE + k + 1] = ke_f[k]
 
     return kernel
 
@@ -1360,7 +1404,6 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
         body.all_linear
         and collision_ok
         and not sim.plasticity_enabled
-        and not sim.equilibrium_mode
         and not sim.max_velocity_enabled
         # fluid runs in-kernel with the voxel-face drag model; bodies with a
         # deformed-mesh facet-drag system use the jnp path (envs/drag.py)
@@ -1371,7 +1414,6 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
         and not env.falling_prohibited
         and not env.norm_dist_by_vol
         and env.num_trace_steps_in_window == 0
-        and float(sim.mid_life_freeze_time) == 0.0
         and bool(np.all(np.asarray(body.dof_fixed) == 0))
         and bool(np.all(np.asarray(body.external_force) == 0.0))
     )
@@ -1535,6 +1577,9 @@ def fused_rollout(
         slow_damping_z=float(sim.slow_damping_z),
         bond_damping_z=float(sim.bond_damping_z),
         col_damping_z=float(sim.col_damping_z),
+        freeze=float(sim.mid_life_freeze_time),
+        freeze_middle=0.5 * (float(sim.stop_condition_value)
+                             - float(sim.init_cm_time)),
     )
     flags = dict(
         gravity=bool(env.gravity_enabled and not env.fluid_environment),
@@ -1545,6 +1590,8 @@ def fused_rollout(
         vary_temp=bool(env.vary_temp_enabled),
         volume=bool(sim.volume_effects_enabled),
         fluid=bool(env.fluid_environment),
+        equilibrium=bool(sim.equilibrium_mode),
+        freeze_on=float(sim.mid_life_freeze_time) > 0.0,
         collision=collision_packed is not None,
         use_init_size=bool(body.using_initial_voxel_size),
         use_final_size=bool(body.using_final_voxel_size),
@@ -1552,6 +1599,9 @@ def fused_rollout(
         use_final_phase=bool(body.using_final_phase_offset),
         use_final_ad=bool(body.using_final_temp_amp_damp),
     )
+    if sim.equilibrium_mode and state.ke_history is not None:
+        stats = stats.at[:, _S_KE:_S_KE + 6].set(
+            state.ke_history.astype(stats.dtype))
 
     out_state, out_stats = _fused_call(
         state_packed,
@@ -1574,6 +1624,11 @@ def fused_rollout(
         time=outs.time.astype(state.time.dtype),
         diverged=outs.diverged,
     )
+    if sim.equilibrium_mode:
+        new_state = new_state.replace(
+            ke_history=out_stats[:, _S_KE:_S_KE + 6].astype(
+                state.ke_history.dtype)
+        )
     return new_state, outs
 
 
@@ -1654,6 +1709,9 @@ class FusedBatchRunner:
                 slow_damping_z=float(sim.slow_damping_z),
                 bond_damping_z=float(sim.bond_damping_z),
                 col_damping_z=float(sim.col_damping_z),
+                freeze=float(sim.mid_life_freeze_time),
+                freeze_middle=0.5 * (float(sim.stop_condition_value)
+                                     - float(sim.init_cm_time)),
             ).items())),
             flags=tuple(sorted(dict(
                 gravity=bool(env.gravity_enabled
@@ -1665,6 +1723,8 @@ class FusedBatchRunner:
                 vary_temp=bool(env.vary_temp_enabled),
                 volume=bool(sim.volume_effects_enabled),
                 fluid=bool(env.fluid_environment),
+                equilibrium=bool(sim.equilibrium_mode),
+                freeze_on=float(sim.mid_life_freeze_time) > 0.0,
                 collision=self.collision_packed is not None,
                 use_init_size=bool(body.using_initial_voxel_size),
                 use_final_size=bool(body.using_final_voxel_size),

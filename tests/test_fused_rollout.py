@@ -378,6 +378,65 @@ def test_fused_fluid_drag_matches_jnp():
                            atol=1e-10)
 
 
+def test_fused_equilibrium_mode_matches_jnp():
+    """Equilibrium mode (zero momenta when the 3-step KE sum decreases,
+    core.step.py:949-967) in the kernel: KE ring carry + zeroing must match
+    the jnp step, including the ke_history state round-trip."""
+    batched, body, sim, env, dt = _make(n=4, seed=9)
+    sim = sim.replace(equilibrium_mode=True)
+    assert supports(body, sim, env)
+    steps = 60
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    # the mode must have triggered at least once somewhere
+    assert np.any(np.asarray(ref.ke_history) > 0)
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.linmom), np.asarray(ref.linmom), rtol=1e-3, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.ke_history), np.asarray(ref.ke_history),
+        rtol=1e-3, atol=1e-12,
+    )
+
+
+def test_fused_midlife_freeze_matches_jnp():
+    """Mid-life freeze: the FrozenTimeAdj development-clock pause and the
+    FreezeInitialized actuation-zeroing window (core.step.py:641-705) must
+    reproduce the jnp trajectory through the freeze."""
+    rng = np.random.default_rng(13)
+    n = 4
+    structure = rng.integers(1, 5, size=(n, n, n)).astype(np.int32)
+    phase = rng.uniform(-1, 1, size=(n, n, n))
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, palette, phase_offset=phase)
+    sim = SimParams(init_cm_time=0.001, stop_condition_value=0.02,
+                    mid_life_freeze_time=0.008)
+    env = EnvParams()
+    assert supports(body, sim, env)
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = init_state(body)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    # horizon spans the whole freeze window (middle ± freeze/2)
+    steps = int(0.016 / float(dt)) + 2
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, _ = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-4, atol=5e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scale), np.asarray(ref.scale), rtol=1e-5, atol=0
+    )
+
+
 def test_fused_volume_effects_requires_coupling_state():
     batched, body, sim, env, dt = _make(n=4)
     with pytest.raises(ValueError):
