@@ -149,6 +149,7 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         freeze=float(sim_params.mid_life_freeze_time),
         freeze_middle=0.5 * (float(sim_params.stop_condition_value)
                              - float(sim_params.init_cm_time)),
+        max_vel_limit=float(sim_params.max_vox_vel_limit),
     )
     flags = dict(
         gravity=bool(env_flags_src.gravity_enabled
@@ -163,6 +164,10 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         fluid=bool(env_flags_src.fluid_environment),
         equilibrium=bool(sim_params.equilibrium_mode),
         freeze_on=float(sim_params.mid_life_freeze_time) > 0.0,
+        max_vel=bool(sim_params.max_velocity_enabled),
+        # bilinear palettes run the in-kernel nonlinear stress path
+        # (MDL_DATA palettes are routed to the jnp evaluator by supports())
+        nonlinear=bool(np.any(np.asarray(palette.mat_model) == 2)),
         # devo code paths follow which per-voxel fields the genome evolves
         # (build_body sets the matching using_* statics from the same kwargs)
         use_init_size="initial_voxel_size" in field_names,

@@ -6,15 +6,16 @@ voxelyzeMain/main.cpp:89-131). The in-kernel feature envelope covers the
 engine features real experiments use — linear materials, beam bonds with
 small/large-angle hysteresis + critical damping, floor contact with Coulomb
 friction (sticky/plain), gravity, thermal sinusoidal actuation, growth/devo
-ramps, volume effects (Poisson coupling + thermal stress), self-collision
-(dense pair field, see `_pair_contact_forces`), fluid environments with
-voxel-face drag, divergence + stop-time freezing (reference hot path:
-VX_Sim.cpp:1763 Integrate → VXS_BondInternal.cpp:56 CalcLinForce →
-VXS_Voxel.cpp:169 EulerStep). The remaining combinations (nonlinear material
-models, plasticity, equilibrium mode, ballistic devo, BC regions,
-deformed-mesh facet drag, env sources, …) use the general jnp stencil in
-`core.step` — `supports()` reports whether a (body, sim, env) config can run
-here.
+ramps + mid-life freeze, bilinear material models, volume effects (Poisson
+coupling + thermal stress), self-collision (dense pair field, see
+`_pair_contact_forces`), fluid environments with voxel-face drag,
+equilibrium mode, max-velocity clamping, divergence + stop-time freezing
+(reference hot path: VX_Sim.cpp:1763 Integrate → VXS_BondInternal.cpp:56
+CalcLinForce → VXS_Voxel.cpp:169 EulerStep). The remaining combinations
+(MDL_DATA point tables, plasticity, ballistic devo, BC regions,
+deformed-mesh facet drag, env sources, trace-window fitness features) use
+the general jnp stencil in `core.step` — `supports()` reports whether a
+(body, sim, env) config can run here.
 
 Why a kernel at all: the jnp scan streams ~50 state floats per voxel through
 HBM **every step**. This kernel keeps the whole simulation state VMEM-resident
@@ -126,7 +127,11 @@ _B_FINAL_AD = _B_DEVO + 5  # final temp amp damp
 _B_EMOD = _B_DEVO + 6
 _B_POISSON = _B_DEVO + 7
 _B_MTPHASE = _B_DEVO + 8  # per-material temperature phase [rad]
-C_B = 88  # 81 channels padded to a sublane multiple
+# nonlinear (bilinear) material model per voxel (VX_Object.cpp:1497-1504)
+_B_MATMODEL = _B_DEVO + 9
+_B_PLASTIC = _B_DEVO + 10
+_B_YIELD = _B_DEVO + 11
+C_B = 88  # 84 channels padded to a sublane multiple
 
 # stats channels (lane-padded to 16)
 _S_TIME = 0
@@ -333,8 +338,19 @@ def _roll_from_nbr(a, stride):
 # ---------------------------------------------------------------------------
 
 
+def _vox_mat_stress_k(strain, e, mm, pm, ys):
+    """Linear/bilinear material stress on (b, Vp) channels (kernel analog of
+    core.step._vox_mat_stress; MDL_DATA stays outside the fused envelope)."""
+    linear = e * strain
+    ystrain = _safe_div(ys, e)
+    bilinear = jnp.where(
+        strain > ystrain, ys + pm * (strain - ystrain), linear
+    )
+    return jnp.where(mm > 1.5, bilinear, linear)  # MDL_BILINEAR == 2
+
+
 def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
-              vol_ctx=None):
+              vol_ctx=None, nonlinear=False):
     """Port of core.step._bond_axis_forces for one lattice direction on
     (b, Vp) component arrays. Returns force/moment/memory dict.
 
@@ -430,6 +446,28 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
             )
         hom = bd(_D_HOM) > 0.5  # no near-equal widening in this mode
         sv = jnp.where(hom, jnp.where(mask, strain, 0.0), 0.0)
+    elif nonlinear:
+        # bilinear materials: per-side stress with the reference's
+        # 3-iteration stress-equalization loop (core.step.py:297-328;
+        # VXS_BondInternal.cpp:237-253)
+        side1 = (body_at(_B_EMOD), body_at(_B_MATMODEL),
+                 body_at(_B_PLASTIC), body_at(_B_YIELD))
+        side2 = tuple(_roll_nbr(a, stride) for a in side1)
+        sv1 = strain
+        sv2 = strain
+        s1 = _vox_mat_stress_k(sv1, *side1)
+        s2 = _vox_mat_stress_k(sv2, *side2)
+        for _ in range(3):
+            ssum = s1 + s2
+            converged = jnp.abs(s1 - s2) <= 0.0005 * jnp.abs(ssum)
+            sv1 = jnp.where(converged, sv1, 2.0 * _safe_div(s2, ssum) * sv1)
+            sv2 = jnp.where(converged, sv2, 2.0 * _safe_div(s1, ssum) * sv2)
+            s1 = _vox_mat_stress_k(sv1, *side1)
+            s2 = _vox_mat_stress_k(sv2, *side2)
+        hom = bd(_D_HOM) > 0.5
+        stress_hom = _vox_mat_stress_k(strain, *side1)
+        stress = jnp.where(hom, stress_hom, 0.5 * (s1 + s2))
+        sv = None
     else:
         E1, E2, E = bd(_D_E1), bd(_D_E2), bd(_D_E)
         s_sum = E1 + E2
@@ -742,7 +780,8 @@ def _make_kernel(
                 vol_ctxs = [None] * 3
             bonds = [
                 _bond_dir(d, strides[d], st, body_at, sc_scalars, prec,
-                          vol_ctx=vol_ctxs[d])
+                          vol_ctx=vol_ctxs[d],
+                          nonlinear=bool(flags.get("nonlinear")))
                 for d in range(3)
             ]
 
@@ -914,7 +953,21 @@ def _make_kernel(
 
             # ---- linear integration (VXS_Voxel.cpp:181-197) ----
             lin = [l + f * dt for l, f in zip(lin, tf)]
-            pos = tuple(p + l * (dt * mass_inv) for p, l in zip(pos, lin))
+            if flags.get("max_vel"):
+                # per-step displacement clamp (VXS_Voxel.cpp:188-192;
+                # core.step.py:882-886)
+                disp = [l * (dt * mass_inv) for l in lin]
+                dmag = _safe_norm3(*disp)
+                max_disp = sc["max_vel_limit"] * L
+                over = dmag > max_disp
+                scale_back = jnp.where(
+                    over, max_disp / jnp.where(dmag > 0, dmag, 1.0), 1.0
+                )
+                pos = tuple(p + d * scale_back for p, d in zip(pos, disp))
+            else:
+                pos = tuple(
+                    p + l * (dt * mass_inv) for p, l in zip(pos, lin)
+                )
 
             # ---- moments + angular integration (VXS_Voxel.cpp:653-675,
             # 202-215) ----
@@ -1285,6 +1338,12 @@ def pack_body(body: VoxelBody, Vp: int, dtype=jnp.float32):
     chans[_B_POISSON] = f(body.poisson)
     if body.mat_temp_phase is not None:
         chans[_B_MTPHASE] = f(body.mat_temp_phase)
+    if body.mat_model_vox is not None:
+        chans[_B_MATMODEL] = f(body.mat_model_vox.astype(dtype))
+    if body.plastic_mod is not None:
+        chans[_B_PLASTIC] = f(body.plastic_mod)
+    if body.yield_stress is not None:
+        chans[_B_YIELD] = f(body.yield_stress)
     zero = jnp.zeros((Vp,), dtype)
     chans = [zero if c is None else c for c in chans]
     return jnp.stack(chans, axis=0)[None]
@@ -1401,10 +1460,11 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
     # ~2k lanes the table and its temporaries outgrow VMEM
     collision_ok = body.collision is None or Vp <= 2048
     return (
-        body.all_linear
+        # linear + bilinear material models run in-kernel; MDL_DATA point
+        # tables stay on the jnp path
+        body.ss_strain_vox is None
         and collision_ok
         and not sim.plasticity_enabled
-        and not sim.max_velocity_enabled
         # fluid runs in-kernel with the voxel-face drag model; bodies with a
         # deformed-mesh facet-drag system use the jnp path (envs/drag.py)
         and not (env.fluid_environment and body.mesh_drag is not None)
@@ -1580,6 +1640,7 @@ def fused_rollout(
         freeze=float(sim.mid_life_freeze_time),
         freeze_middle=0.5 * (float(sim.stop_condition_value)
                              - float(sim.init_cm_time)),
+        max_vel_limit=float(sim.max_vox_vel_limit),
     )
     flags = dict(
         gravity=bool(env.gravity_enabled and not env.fluid_environment),
@@ -1592,6 +1653,8 @@ def fused_rollout(
         fluid=bool(env.fluid_environment),
         equilibrium=bool(sim.equilibrium_mode),
         freeze_on=float(sim.mid_life_freeze_time) > 0.0,
+        max_vel=bool(sim.max_velocity_enabled),
+        nonlinear=not bool(body.all_linear),
         collision=collision_packed is not None,
         use_init_size=bool(body.using_initial_voxel_size),
         use_final_size=bool(body.using_final_voxel_size),
@@ -1712,6 +1775,7 @@ class FusedBatchRunner:
                 freeze=float(sim.mid_life_freeze_time),
                 freeze_middle=0.5 * (float(sim.stop_condition_value)
                                      - float(sim.init_cm_time)),
+                max_vel_limit=float(sim.max_vox_vel_limit),
             ).items())),
             flags=tuple(sorted(dict(
                 gravity=bool(env.gravity_enabled
@@ -1725,6 +1789,8 @@ class FusedBatchRunner:
                 fluid=bool(env.fluid_environment),
                 equilibrium=bool(sim.equilibrium_mode),
                 freeze_on=float(sim.mid_life_freeze_time) > 0.0,
+                max_vel=bool(sim.max_velocity_enabled),
+                nonlinear=not bool(body.all_linear),
                 collision=self.collision_packed is not None,
                 use_init_size=bool(body.using_initial_voxel_size),
                 use_final_size=bool(body.using_final_voxel_size),

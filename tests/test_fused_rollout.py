@@ -437,6 +437,73 @@ def test_fused_midlife_freeze_matches_jnp():
     )
 
 
+def test_fused_bilinear_materials_match_jnp():
+    """Bilinear palettes (yield + plastic modulus) in-kernel: the per-side
+    stress equalization loop (core.step.py:297-328) must reproduce the jnp
+    trajectory, and yielding must actually occur."""
+    from evosoro_tpu.core.types import MDL_BILINEAR, Material
+
+    lin = evosoro_default_palette()
+    soft = [
+        Material(m.id, m.name, m.elastic_mod, cte=m.cte,
+                 mat_model=MDL_BILINEAR, plastic_mod=m.elastic_mod * 0.01,
+                 yield_stress=m.elastic_mod * 1e-4)
+        for m in lin
+    ]
+    rng = np.random.default_rng(4)
+    n = 4
+    structure = rng.integers(1, 5, size=(n, n, n)).astype(np.int32)
+    phase = rng.uniform(-1, 1, size=(n, n, n))
+    body = build_body(structure, palette_from_list(soft), phase_offset=phase)
+    body_lin = build_body(structure, palette_from_list(lin),
+                          phase_offset=phase)
+    assert not body.all_linear
+    sim = SimParams(init_cm_time=0.0)
+    env = EnvParams()
+    assert supports(body, sim, env)
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = init_state(body)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    steps = 80
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-4, atol=5e-8
+    )
+    assert not bool(np.any(np.asarray(stats.diverged)))
+    # yielding changes the trajectory vs the linear palette
+    out_lin, _ = fused_rollout(
+        batched, body_lin, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    assert not np.allclose(np.asarray(out.pos), np.asarray(out_lin.pos),
+                           atol=1e-9)
+
+
+def test_fused_max_velocity_clamp_matches_jnp():
+    """MaxVelLimit: the per-step displacement clamp (VXS_Voxel.cpp:188-192)
+    must engage and match the jnp step."""
+    batched, body, sim, env, dt = _make(n=4, seed=6)
+    sim = sim.replace(max_velocity_enabled=True, max_vox_vel_limit=1e-4)
+    assert supports(body, sim, env)
+    steps = 80
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, _ = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=5e-5, atol=1e-8
+    )
+    # the clamp actually binds: unclamped trajectory differs
+    sim0 = sim.replace(max_velocity_enabled=False)
+    ref0 = _jnp_steps(batched, body, sim0, env, dt, steps)
+    assert not np.allclose(np.asarray(ref.pos), np.asarray(ref0.pos),
+                           atol=1e-10)
+
+
 def test_fused_volume_effects_requires_coupling_state():
     batched, body, sim, env, dt = _make(n=4)
     with pytest.raises(ValueError):

@@ -65,6 +65,71 @@ def test_fixture_short_rollout_stable(path):
     assert np.all(np.isfinite(np.asarray(res.final_cm)))
 
 
+def test_layer_codec_variants(tmp_path):
+    """Every Compression variant of VX_Object.cpp:1748-1830 decodes to the
+    same structure; unknown values raise instead of mis-parsing."""
+    import base64
+    import zlib
+
+    import evosoro_tpu.io.vxa as vxa_mod
+
+    rng = np.random.default_rng(0)
+    X, Y, Z = 3, 2, 2
+    ids = rng.integers(0, 5, size=(X, Y, Z)).astype(np.int32)
+
+    def layer_bytes(z):
+        return ids[:, :, z].T.reshape(-1).astype(np.uint8).tobytes()
+
+    def decode_all(compression, encoder):
+        out = np.zeros((X, Y, Z), dtype=np.int32)
+        for z in range(Z):
+            vals = vxa_mod._decode_layer(encoder(layer_bytes(z)),
+                                         compression, X * Y)
+            out[:, :, z] = vals.reshape(Y, X).T
+        return out
+
+    cases = {
+        "ASCII_READABLE": lambda b: bytes(v + 48 for v in b).decode(),
+        "BASE64": lambda b: base64.b64encode(b).decode(),
+        "": lambda b: base64.b64encode(b).decode(),
+        "ZLIB": lambda b: base64.b64encode(zlib.compress(b)).decode(),
+        "QT_ZLIB": lambda b: base64.b64encode(
+            len(b).to_bytes(4, "big") + zlib.compress(b)).decode(),
+        "RAW_DATA": lambda b: b.decode("latin-1"),
+    }
+    for comp, enc in cases.items():
+        got = decode_all(comp, enc)
+        assert np.array_equal(got, ids), comp
+
+    with pytest.raises(ValueError):
+        vxa_mod._decode_layer("0101", "GZIP_WHATEVER", 4)
+    # wrong voxel count raises at the layer level
+    from evosoro_tpu.core.types import evosoro_default_palette
+    from evosoro_tpu.io import write_vxa
+
+    p = tmp_path / "bad.vxa"
+    write_vxa(str(p), ids, evosoro_default_palette())
+    txt = p.read_text().replace("<X_Voxels>3</X_Voxels>",
+                                "<X_Voxels>4</X_Voxels>")
+    p.write_text(txt)
+    with pytest.raises(ValueError):
+        load_vxa(str(p))
+
+
+def test_write_compression_roundtrips(tmp_path):
+    """Writer ZLIB/BASE64/ASCII outputs all load back identically."""
+    from evosoro_tpu.core.types import evosoro_default_palette
+    from evosoro_tpu.io import write_vxa
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 5, size=(4, 3, 2)).astype(np.int32)
+    for comp in ("ASCII_READABLE", "BASE64", "ZLIB"):
+        p = tmp_path / f"{comp}.vxa"
+        write_vxa(str(p), ids, evosoro_default_palette(), compression=comp)
+        doc = load_vxa(str(p))
+        assert np.array_equal(doc.structure, ids), comp
+
+
 def test_roundtrip_preserves_structure(tmp_path):
     src = os.path.join(REF, "_voxcad/voxelyzeMain/Example_withPhaseOffset.vxa")
     doc = load_vxa(src)

@@ -78,11 +78,37 @@ def _scenario_fluid(rng):
     return body, sim, env, {}
 
 
+def _scenario_bilinear(rng):
+    from evosoro_tpu.core.types import MDL_BILINEAR, Material
+
+    soft = [
+        Material(m.id, m.name, m.elastic_mod, cte=m.cte,
+                 mat_model=MDL_BILINEAR, plastic_mod=m.elastic_mod * 0.01,
+                 yield_stress=m.elastic_mod * 1e-4)
+        for m in evosoro_default_palette()
+    ]
+    s = rng.integers(1, 5, size=(4, 4, 4)).astype(np.int32)
+    body = build_body(s, palette_from_list(soft),
+                      phase_offset=rng.uniform(-1, 1, size=s.shape))
+    return body, SimParams(init_cm_time=0.0), EnvParams(), {}
+
+
+def _scenario_equilibrium_maxvel(rng):
+    s = rng.integers(1, 5, size=(4, 4, 4)).astype(np.int32)
+    body = build_body(s, palette_from_list(evosoro_default_palette()),
+                      phase_offset=rng.uniform(-1, 1, size=s.shape))
+    sim = SimParams(init_cm_time=0.0, equilibrium_mode=True,
+                    max_velocity_enabled=True, max_vox_vel_limit=1e-4)
+    return body, sim, EnvParams(), {}
+
+
 SCENARIOS = {
     "default": _scenario_default,
     "collision": _scenario_collision,
     "volume_effects": _scenario_volume,
     "fluid_drag": _scenario_fluid,
+    "bilinear": _scenario_bilinear,
+    "equilibrium_maxvel": _scenario_equilibrium_maxvel,
 }
 
 
