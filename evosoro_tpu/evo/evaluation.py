@@ -125,8 +125,33 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
     TPU for the default feature envelope. `with_collision`: the returned fn
     takes a per-individual dense (B, Vp, Vp) pair-stiffness batch (built
     host-side by `_dispatch_batch`) as a 6th argument."""
+    # the env/sim flag set and physics scalars are baked into the kernel
+    # closure, so they MUST be part of the cache key — a same-shape
+    # experiment with different features (e.g. fluid on/off) is a
+    # different kernel
+    feature_key = (
+        bool(env_flags_src.gravity_enabled),
+        bool(env_flags_src.floor_enabled),
+        bool(env_flags_src.sticky_floor),
+        bool(env_flags_src.temp_enabled),
+        bool(env_flags_src.vary_temp_enabled),
+        bool(env_flags_src.fluid_environment),
+        bool(sim_params.volume_effects_enabled),
+        bool(sim_params.equilibrium_mode),
+        bool(sim_params.max_velocity_enabled),
+        float(sim_params.mid_life_freeze_time),
+        float(sim_params.stop_condition_value),
+        float(sim_params.init_cm_time),
+        float(sim_params.min_temp_fact),
+        float(sim_params.dt_frac),
+        float(sim_params.slow_damping_z),
+        float(sim_params.bond_damping_z),
+        float(sim_params.col_damping_z),
+        float(sim_params.max_vox_vel_limit),
+        int(np.asarray(palette.mat_model).max()),
+    )
     key = ("fused", grid_shape, num_steps, tuple(sorted(field_names)),
-           float(lattice_dim), interpret, with_collision)
+           float(lattice_dim), interpret, with_collision, feature_key)
     if key in _compiled_cache:
         return _compiled_cache[key]
 
@@ -203,6 +228,7 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         row = row.at[fr._S_GRAV].set(q32(env1.grav_acc))
         row = row.at[fr._S_MINTF].set(q32(min_temp_fact))
         row = row.at[fr._S_GAMP].set(q32(env1.growth_amplitude))
+        row = row.at[fr._S_DRAGC].set(q32(env1.aggregate_drag_coefficient))
         return sp, bp, row
 
     flags["collision"] = bool(with_collision)
@@ -459,6 +485,10 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
         stiff = voxel_fields.get("stiffness")
         collision_systems = []
         for i in range(Bp):
+            if i >= B:
+                # pad rows duplicate row 0's design — reuse its tables
+                collision_systems.append(collision_systems[0])
+                continue
             st_i = structures[i]
             e_vox = e_pal[st_i]
             if stiff is not None:
@@ -482,6 +512,12 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
     if with_collision:
         probe_body = probe_body.replace(collision=collision_systems[0])
     can_fuse = fused_supports(probe_body, sim_params, all_env[0])
+    if with_collision:
+        # the evaluator streams PER-INDIVIDUAL dense pair fields as a
+        # (batch_block=8, Vp, Vp) VMEM block — supports()'s 2048-lane bound
+        # only holds for the shared-table (1, Vp, Vp) case
+        Vp_probe = -(-int(np.prod(grid)) // 128) * 128
+        can_fuse = can_fuse and Vp_probe <= 1024
     use_fused = can_fuse and (force == "1" or (on_tpu and force != "0"))
 
     extra_args = ()
@@ -507,7 +543,10 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
         if with_collision:
             from evosoro_tpu.core.collision import pad_collision_system
 
+            # bucket the surface padding so drifting s_max across
+            # generations doesn't retrigger a full rollout recompile
             s_max = max(cs.surf_idx.shape[0] for cs in collision_systems)
+            s_max = -(-s_max // 64) * 64
             extra_args = (jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs),
                 *[pad_collision_system(cs, s_max)

@@ -554,10 +554,13 @@ def load_vxa(path) -> VXADocument:
     structure = _parse_layers_int(struct_el, "Data", (X, Y, Z), compression)
     if structure is None:
         structure = np.zeros((X, Y, Z), dtype=np.int32)
-    if structure.min() < 0 or structure.max() > len(materials):
+    # ids must fit the palette's id space; palettes may have non-contiguous
+    # IDs (the ID attribute is authoritative), so bound by max id, not count
+    max_id = max((m.id for m in materials), default=0)
+    if structure.min() < 0 or structure.max() > max_id:
         raise ValueError(
             f"VXC structure has material ids outside palette "
-            f"[0, {len(materials)}]: range "
+            f"[0, {max_id}]: range "
             f"[{int(structure.min())}, {int(structure.max())}]"
         )
 

@@ -161,14 +161,15 @@ def marching_tetrahedra(
 
 def smooth_structure_mesh(structure: np.ndarray, lattice_dim: float = 1.0,
                           iso: float = 0.5):
-    """Watertight smoothed surface of a voxel design in lattice units:
-    voxel (i,j,k)'s center maps to (i,j,k)·lattice_dim like the engine's
-    nominal positions."""
+    """Watertight smoothed surface of a voxel design, registered to the
+    engine's frame: voxel (i,j,k)'s center sits at (i+0.5)·lattice_dim —
+    the same nominal positions build_body uses (core/materials.py nom_pos),
+    so the surface overlays deformed-mesh/viz output without offset."""
     field = occupancy_field(structure)
-    # field sample (1,1,1) is voxel (0,0,0)'s center
+    # field sample (1,1,1) is voxel (0,0,0)'s center at 0.5·lattice_dim
+    half = -0.5 * lattice_dim
     return marching_tetrahedra(
-        field, iso=iso, spacing=lattice_dim,
-        origin=(-lattice_dim, -lattice_dim, -lattice_dim),
+        field, iso=iso, spacing=lattice_dim, origin=(half, half, half),
     )
 
 

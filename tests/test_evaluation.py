@@ -117,6 +117,31 @@ def test_fused_evaluator_matches_jnp(_restore_env):
     np.testing.assert_allclose(fits_fused, fits_jnp, rtol=5e-3, atol=1e-6)
 
 
+def test_fused_evaluator_fluid_matches_jnp(_restore_env):
+    """Fluid (swimming) environments through BOTH evaluator paths: the fused
+    path must carry the aggregate drag coefficient into its stats rows
+    (regression: a missing _S_DRAGC channel made fused swimmers drag-free)."""
+    sim = Sim(dt_frac=0.9, simulation_time=0.01, fitness_eval_init_time=0.0)
+    env = Env(time_between_traces=0, fluid_environment=1,
+              aggregate_drag_coefficient=375.0, gravity_enabled=0,
+              floor_enabled=0)
+
+    pop_a = _make_pop()
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "0"
+    evaluate_all(sim, env, pop_a)
+    fits_jnp = _fitnesses(pop_a)
+
+    pop_b = _make_pop()
+    pop_b.already_evaluated = {}
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"
+    evaluate_all(sim, env, pop_b)
+    fits_fused = _fitnesses(pop_b)
+
+    assert np.isfinite(fits_jnp).all()
+    assert np.max(np.abs(fits_jnp)) > 0
+    np.testing.assert_allclose(fits_fused, fits_jnp, rtol=5e-3, atol=1e-6)
+
+
 def test_actuation_variance_independent_per_material(_restore_env, monkeypatch):
     """actuation_variance must draw an INDEPENDENT U(0, av) CTE factor per
     muscle material per evaluation (reference: read_write_voxelyze.py:243,267

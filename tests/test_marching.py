@@ -40,6 +40,10 @@ def test_single_voxel_closed_surface():
     # iso=0.5 octahedron-ish solid around the center: volume below the
     # 1-voxel cube but positive and substantial
     assert 0.1 < vol < 1.0
+    # registered to the engine frame: voxel (0,0,0)'s nominal center is
+    # (0.5, 0.5, 0.5)·L (core/materials.py nom_pos)
+    np.testing.assert_allclose(verts.mean(axis=0), [0.5, 0.5, 0.5],
+                               atol=1e-9)
 
 
 def test_block_volume_converges_to_voxel_volume():

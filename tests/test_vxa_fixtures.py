@@ -37,9 +37,10 @@ def test_load_reference_fixture(path):
     # (e.g. ignoring the ZLIB Compression attribute) produces out-of-range
     # garbage ids, which this catches (VERDICT r2 weak #1).
     assert doc.structure.min() >= 0
-    assert doc.structure.max() <= len(doc.materials), (
-        f"material ids up to {doc.structure.max()} exceed palette size "
-        f"{len(doc.materials)}"
+    max_id = max(m.id for m in doc.materials)
+    assert doc.structure.max() <= max_id, (
+        f"material ids up to {doc.structure.max()} exceed palette max id "
+        f"{max_id}"
     )
     assert doc.lattice_dim > 0
     assert len(doc.materials) >= 1
