@@ -434,13 +434,23 @@ def devo_params_from_vxa(
     return out
 
 
-def calc_max_dt(body: VoxelBody) -> jnp.ndarray:
+def calc_max_dt(body: VoxelBody, volume_effects: bool = False) -> jnp.ndarray:
     """Stability timestep 1/(2π·max√(k/m)) over all bonds
-    (reference: VX_Sim.cpp:1693-1727; k = a1 linear stiffness)."""
-    m1 = jnp.broadcast_to(body.mass, body.bond_a1.shape)
+    (reference: VX_Sim.cpp:1693-1727).
+
+    k = a1 linear stiffness normally; with `volume_effects` the reference
+    uses the bond's *effective* stiffness Eh·(CS1+CS2)/(2·(ε·L+L))
+    (VXS_Bond.h:34), which at rest (ε=0, CS=L²) is Eh·L — and recomputes dt
+    EVERY step as strains/areas evolve (VX_Sim.cpp:1792-1794). This function
+    gives the rest value; `core.step` recomputes it in-step for rollouts."""
+    if volume_effects:
+        k = body.bond_eh * body.nominal_size
+    else:
+        k = body.bond_a1
+    m1 = jnp.broadcast_to(body.mass, k.shape)
     m2 = jnp.stack([jnp.roll(body.mass, -1, axis=d) for d in range(3)])
-    f2_1 = jnp.where(body.bond_mask, _safe_div(body.bond_a1, m1), 0.0)
-    f2_2 = jnp.where(body.bond_mask, _safe_div(body.bond_a1, m2), 0.0)
+    f2_1 = jnp.where(body.bond_mask, _safe_div(k, m1), 0.0)
+    f2_2 = jnp.where(body.bond_mask, _safe_div(k, m2), 0.0)
     max_freq2 = jnp.maximum(jnp.max(f2_1), jnp.max(f2_2))
     max_freq = jnp.sqrt(max_freq2)
     # truncated π replicates the reference's dt bit-for-bit

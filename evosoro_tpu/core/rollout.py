@@ -44,10 +44,15 @@ def init_state(body: VoxelBody, dtype=None, volume_effects: bool = False,
     dtype = dtype or body.nom_pos.dtype
     nom = jnp.broadcast_to(body.nominal_size, (X, Y, Z)).astype(dtype)
     ts_sum = cs_area = None
+    cur_dt = None
     if volume_effects:
         ts_sum = jnp.zeros((2, 3, X, Y, Z), dtype)
         L2 = (body.nominal_size * body.nominal_size).astype(dtype)
         cs_area = jnp.broadcast_to(L2, (2, 3, X, Y, Z))
+        # per-step dt carry (the reference recomputes CalcMaxDt every step
+        # under volume effects, VX_Sim.cpp:1792-1794); 0 = "use the caller's
+        # dt for the first bond pass"
+        cur_dt = jnp.zeros((), dtype)
     devo = None
     if ballistic_devo:
         bc = lambda a: jnp.broadcast_to(a, (X, Y, Z)).astype(dtype)  # noqa: E731
@@ -64,6 +69,7 @@ def init_state(body: VoxelBody, dtype=None, volume_effects: bool = False,
     return SimState(
         ts_sum=ts_sum,
         cs_area=cs_area,
+        cur_dt=cur_dt,
         devo=devo,
         total_strain_e=jnp.zeros((), dtype),
         max_vox_vel=jnp.zeros((), dtype),
@@ -81,7 +87,10 @@ def init_state(body: VoxelBody, dtype=None, volume_effects: bool = False,
         strain_offset=jnp.zeros((3, X, Y, Z), dtype),
         time=jnp.zeros((), dtype),
         diverged=jnp.zeros((), bool),
-        ke_history=jnp.zeros((6,), dtype),
+        # the reference clears energy histories to -1 sentinels
+        # (VX_Sim.h:421 ClearHistories); the first real comparisons only
+        # engage once enough samples displace them
+        ke_history=jnp.full((6,), -1.0, dtype),
     )
 
 
@@ -192,9 +201,15 @@ def num_steps_for(body: VoxelBody, sim: SimParams, dt=None) -> int:
     import numpy as np
 
     if dt is None:
-        dt = float(calc_max_dt(body)) * float(sim.dt_frac)
+        dt = float(calc_max_dt(body, sim.volume_effects_enabled)) * float(
+            sim.dt_frac)
     total = float(sim.stop_condition_value) + float(sim.afterlife_time)
-    return int(np.ceil(total / dt))
+    steps = int(np.ceil(total / dt))
+    if sim.volume_effects_enabled:
+        # dt is recomputed per step and shrinks under compression; pad the
+        # static scan length so the stop time is still reached
+        steps = int(np.ceil(steps * 1.15))
+    return steps
 
 
 def _needle_pos(state: SimState, body: VoxelBody):
@@ -270,7 +285,7 @@ def rollout(
     None defaults to SC_MAX_SIM_TIME behavior via `stop_time`/`num_steps`.
     """
     if dt is None:
-        dt = calc_max_dt(body) * sim.dt_frac
+        dt = calc_max_dt(body, sim.volume_effects_enabled) * sim.dt_frac
     if state is None:
         state = init_state(
             body,

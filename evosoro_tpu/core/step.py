@@ -23,6 +23,7 @@ from evosoro_tpu.core.constants import (
     DEFAULT_PRECISION,
     DIVERGENCE_STRAIN,
     HYSTERESIS_FACTOR,
+    REF_PI_DOUBLE,
     REF_PI_FLOAT,
     SA_BOND_EXT_PERC,
     Precision,
@@ -782,6 +783,7 @@ def sim_step(
     dt,
     prec: Precision = DEFAULT_PRECISION,
     control_offset=None,
+    dt_reduce=None,
 ) -> SimState:
     """Advance one dt (reference: VX_Sim.cpp:1763 Integrate).
 
@@ -793,14 +795,62 @@ def sim_step(
     occ = body.occ
     occf = occ[..., None]
 
+    # equilibrium mode overrides the damping configuration for the whole run
+    # (reference: EnableEquilibriumMode, VX_Sim.cpp:1351-1372 — BondDampingZ
+    # := 0.1, SlowDampingZ := 0, max-velocity clamp disabled)
+    if sim.equilibrium_mode:
+        sim = sim.replace(
+            bond_damping_z=0.1, slow_damping_z=0.0,
+            max_velocity_enabled=False,
+        )
+
     if sim.volume_effects_enabled and state.ts_sum is None:
         raise ValueError(
             "volume effects enabled but the state has no coupling carry; "
             "create it with init_state(body, volume_effects=True)"
         )
 
+    # the bond damping pass reads the PREVIOUS step's dt (the reference dt
+    # member is updated after UpdateBond, VX_Sim.cpp:1792-1795); everything
+    # from EulerStep on uses the fresh value
+    dt_bond = dt
+    if sim.volume_effects_enabled and state.cur_dt is not None:
+        dt_bond = jnp.where(state.cur_dt > 0, state.cur_dt, dt)
+
     # ---- bond pass (3 lattice directions) ----
-    bonds = [_bond_axis_forces(d, state, body, sim, env, dt, prec) for d in range(3)]
+    bonds = [
+        _bond_axis_forces(d, state, body, sim, env, dt_bond, prec)
+        for d in range(3)
+    ]
+
+    if sim.volume_effects_enabled:
+        # dt = DtFrac/(2π·max√(k_eff/m)) recomputed EVERY step: k_eff =
+        # Eh·(CS1+CS2)/(2·(ε·L+L)) with this step's strain and the carried
+        # cross-sections (reference: VXS_Bond.h:34 GetEffectiveStiffness;
+        # VX_Sim.cpp:1792-1794)
+        L = body.nominal_size
+        cs_sum = state.cs_area[0] + state.cs_area[1]  # (3,X,Y,Z)
+        strains = jnp.stack([b["strain"] for b in bonds])
+        eff_k = body.bond_eh * cs_sum / (2.0 * (strains * L + L))
+        m1 = jnp.broadcast_to(body.mass, eff_k.shape)
+        m2 = jnp.stack(
+            [jnp.roll(body.mass, -1, axis=dd) for dd in range(3)]
+        )
+        f2 = jnp.maximum(
+            jnp.where(body.bond_mask, _safe_div(eff_k, m1), 0.0),
+            jnp.where(body.bond_mask, _safe_div(eff_k, m2), 0.0),
+        )
+        max_freq = jnp.sqrt(jnp.max(f2))
+        if dt_reduce is not None:
+            # spatially-sharded steps must agree on the global stability
+            # bound (parallel/spatial.py passes a pmax over the mesh axis)
+            max_freq = dt_reduce(max_freq)
+        dt = jnp.where(
+            max_freq > 0,
+            jnp.asarray(sim.dt_frac, max_freq.dtype)
+            / (2.0 * REF_PI_DOUBLE * max_freq),
+            dt_bond,
+        )
 
     # volume-effects voxel pass: write next step's TStrainSum/CSArea
     # (reference: VXS_Voxel.cpp:543-632)
@@ -947,6 +997,15 @@ def sim_step(
         new_scale = new_scale + jnp.where(occ, ctrl_off * body.nominal_size, 0.0)
 
     # ---- kinetic energy bookkeeping / equilibrium mode ----
+    # Reference ordering (VX_Sim.cpp:1148-1155): the KineticEDecreasing test
+    # reads the ring BEFORE this step's KE is pushed; ZeroAllMotion also
+    # zeroes the per-voxel KineticEnergy, so the value UpdateStats then
+    # pushes is the POST-zeroing energy (0 on zeroed steps).
+    if sim.equilibrium_mode:
+        h = state.ke_history
+        decreasing = h[0] + h[1] + h[2] < h[3] + h[4] + h[5]
+        linmom = jnp.where(decreasing, 0.0, linmom)
+        angmom = jnp.where(decreasing, 0.0, angmom)
     vel_new = linmom * body.mass_inv[..., None]
     angvel_new = angmom * body.inertia_inv[..., None]
     ke = 0.5 * jnp.sum(
@@ -958,13 +1017,6 @@ def sim_step(
     max_vox_vel = jnp.sqrt(
         jnp.max(jnp.where(occ, jnp.sum(vel_new * vel_new, axis=-1), 0.0))
     )
-    if sim.equilibrium_mode:
-        decreasing = (
-            ke_history[0] + ke_history[1] + ke_history[2]
-            < ke_history[3] + ke_history[4] + ke_history[5]
-        )
-        linmom = jnp.where(decreasing, 0.0, linmom)
-        angmom = jnp.where(decreasing, 0.0, angmom)
 
     new_state = SimState(
         pos=pos,
@@ -984,6 +1036,8 @@ def sim_step(
         ke_history=ke_history,
         ts_sum=new_ts_sum,
         cs_area=new_cs_area,
+        cur_dt=(dt * jnp.ones_like(state.cur_dt)
+                if state.cur_dt is not None else None),
         devo=new_devo,
         total_strain_e=total_strain_e,
         max_vox_vel=max_vox_vel,

@@ -468,6 +468,11 @@ class SimState:
     # effects feature is off (the scan then carries no extra state).
     ts_sum: Any = None  # (2,3,X,Y,Z) transverse strain sums
     cs_area: Any = None  # (2,3,X,Y,Z) current cross-section areas
+    # the dt member: under volume effects the reference recomputes
+    # dt = DtFrac·CalcMaxDt every step from the evolving effective bond
+    # stiffness (VX_Sim.cpp:1792-1794), and the bond damping pass still
+    # reads the PREVIOUS step's value. 0 = seed from the caller's dt.
+    cur_dt: Any = None  # scalar; None when volume effects are off
 
     # ballistic-development state (None unless enabled — see DevoState)
     devo: Any = None

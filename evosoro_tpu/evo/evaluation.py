@@ -85,13 +85,19 @@ def _phenotype_fields(ind, env):
     return fields, env_overrides
 
 
-def _np_max_dt(structure, e_mod_default, stiffness, palette_np):
+def _np_max_dt(structure, e_mod_default, stiffness, palette_np,
+               volume_effects=False):
     """Host-side CalcMaxDt (reference: VX_Sim.cpp:1693-1727) for computing
-    the static scan length before tracing."""
+    the static scan length before tracing. With `volume_effects` the bond
+    stiffness for the stability bound is Eh = E/((1-2u)(1+u)) (rest value
+    of GetEffectiveStiffness, VXS_Bond.h:34)."""
     occ = structure > 0
     e = palette_np["elastic_mod"][structure]
     if stiffness is not None:
         e = np.where((stiffness > 0) & occ, stiffness, e)
+    if volume_effects:
+        u = palette_np["poisson"][structure]
+        e = e / np.maximum((1.0 - 2.0 * u) * (1.0 + u), 1e-12)
     rho = palette_np["density"][structure]
     max_f2 = 0.0
     for d in range(3):
@@ -162,6 +168,12 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
 
     fr = sys.modules["evosoro_tpu.ops.fused_rollout"]
 
+    if sim_params.equilibrium_mode:
+        # reference EnableEquilibriumMode damping overrides
+        sim_params = sim_params.replace(
+            bond_damping_z=0.1, slow_damping_z=0.0,
+            max_velocity_enabled=False)
+
     X, Y, Z = grid_shape
     V = X * Y * Z
     Vp = -(-V // 128) * 128
@@ -171,6 +183,7 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         slow_damping_z=float(sim_params.slow_damping_z),
         bond_damping_z=float(sim_params.bond_damping_z),
         col_damping_z=float(sim_params.col_damping_z),
+        dt_frac=float(sim_params.dt_frac),
         freeze=float(sim_params.mid_life_freeze_time),
         freeze_middle=0.5 * (float(sim_params.stop_condition_value)
                              - float(sim_params.init_cm_time)),
@@ -209,7 +222,9 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         body = build_body(
             structure, palette, lattice_dim=lattice_dim, **voxel_fields
         )
-        dt = calc_max_dt(body) * dt_frac
+        dt = calc_max_dt(
+            body, sim_params.volume_effects_enabled
+        ) * dt_frac
         state = init_state(
             body, volume_effects=sim_params.volume_effects_enabled
         )
@@ -229,6 +244,7 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         row = row.at[fr._S_MINTF].set(q32(min_temp_fact))
         row = row.at[fr._S_GAMP].set(q32(env1.growth_amplitude))
         row = row.at[fr._S_DRAGC].set(q32(env1.aggregate_drag_coefficient))
+        row = row.at[fr._S_KE:fr._S_KE + 6].set(-1.0)
         return sp, bp, row
 
     flags["collision"] = bool(with_collision)
@@ -453,14 +469,17 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
     palette_np = {
         "elastic_mod": np.asarray(palette.elastic_mod),
         "density": np.asarray(palette.density),
+        "poisson": np.asarray(palette.poisson),
     }
     L = env.lattice_dimension
+    vol_on = bool(sim_params.volume_effects_enabled)
     max_f2 = max(
         _np_max_dt(
             f["structure"],
             None,
             f.get("stiffness"),
             palette_np,
+            volume_effects=vol_on,
         )
         for f in all_fields
     )
@@ -469,6 +488,9 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
     min_dt = (1.0 / (2 * np.pi * max_freq)) * sim.dt_frac if max_freq > 0 else 1e-4
     stop_time = float(sim.simulation_time)
     num_steps = int(np.ceil(stop_time / min_dt)) + 1
+    if vol_on:
+        # in-step dt recomputation can shrink dt under compression
+        num_steps = int(np.ceil(num_steps * 1.15))
 
     # self-collision: every reference experiment defaults
     # SelfColEnabled=1 (base.py:24, read_write_voxelyze.py:73), so the

@@ -52,6 +52,7 @@ from evosoro_tpu.core.constants import (
     DEFAULT_PRECISION,
     DIVERGENCE_STRAIN,
     HYSTERESIS_FACTOR,
+    REF_PI_DOUBLE,
     REF_PI_FLOAT,
     SA_BOND_EXT_PERC,
     Precision,
@@ -663,7 +664,7 @@ def _make_kernel(
 
         t0 = stat(_S_TIME)
         div0 = stat(_S_DIV)
-        dt = stat(_S_DT)
+        dt0 = stat(_S_DT)
         ini0 = tuple(stat(_S_INICM + c) for c in range(3))
         capt0 = stat(_S_CAPT)
         inv_mass_tot = stat(_S_INV_MASS)
@@ -710,7 +711,7 @@ def _make_kernel(
         else:
             ke0 = ()
 
-        vol = bool(flags.get("volume"))
+        vol = vol_outer = bool(flags.get("volume"))
         if vol:
             e_mod_v = body_at(_B_EMOD)
             mu_v = body_at(_B_POISSON)
@@ -722,14 +723,17 @@ def _make_kernel(
         else:
             tsavg0 = csavg0 = ()
 
-        sc_scalars = dict(sc, dt=dt)
 
         def step(i, carry):
             (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
-             t, div_f, ini, capt_f, tsavg, csavg, ke_hist) = carry
+             t, div_f, ini, capt_f, tsavg, csavg, ke_hist, dt_carry) = carry
             small = tuple(sf > 0.5 for sf in small_f)
             div = div_f > 0.5
             capt = capt_f > 0.5
+            # the bond damping pass reads the previous step's dt; under
+            # volume effects dt is recomputed after the bond pass
+            # (VX_Sim.cpp:1792-1795), otherwise it is constant
+            dt_p = dt_carry[0] if vol else dt0
 
             # ---- rollout bookkeeping at the top of the step (reference:
             # VX_Sim.cpp:1064-1075 — IniCM capture from the previous step's
@@ -778,12 +782,42 @@ def _make_kernel(
                 ]
             else:
                 vol_ctxs = [None] * 3
+            sc_step = dict(sc, dt=dt_p)
             bonds = [
-                _bond_dir(d, strides[d], st, body_at, sc_scalars, prec,
+                _bond_dir(d, strides[d], st, body_at, sc_step, prec,
                           vol_ctx=vol_ctxs[d],
                           nonlinear=bool(flags.get("nonlinear")))
                 for d in range(3)
             ]
+
+            if vol:
+                # dt = DtFrac/(2π·max√(k_eff/m)) recomputed every step
+                # (k_eff = Eh·CSavg/(ε·L+L), VXS_Bond.h:34; core.step.py)
+                freq2 = None
+                minv2 = [
+                    jnp.maximum(mass_inv, _roll_nbr(mass_inv, strides[a]))
+                    for a in range(3)
+                ]
+                for a in range(3):
+                    eha1 = ehv
+                    eha2 = _roll_nbr(ehv, strides[a])
+                    eh_a = 2.0 * _safe_div(eha1 * eha2, eha1 + eha2)
+                    m_a = body_at(_B_DIR + a * _B_PER_DIR + _D_MASK) > 0.5
+                    eff_k = eh_a * csavg[a] / (
+                        bonds[a]["strain"] * L + L
+                    )
+                    f2a = jnp.where(m_a, eff_k * minv2[a], 0.0)
+                    f2a = jnp.max(f2a, axis=1, keepdims=True)
+                    freq2 = f2a if freq2 is None else jnp.maximum(freq2, f2a)
+                mfreq = jnp.sqrt(freq2)
+                dt_n = jnp.where(
+                    mfreq > 0,
+                    sc["dt_frac"] / ((2.0 * REF_PI_DOUBLE) * mfreq),
+                    dt_p,
+                )
+            else:
+                dt_n = dt_p
+            dt = dt_n  # everything from EulerStep on uses the fresh value
 
             if vol:
                 # voxel-pass Poisson coupling for NEXT step's bond stress
@@ -999,21 +1033,22 @@ def _make_kernel(
             quat = _qnorm_fast(tuple(q + s * dt for q, s in zip(quat, spin)))
 
             if flags.get("equilibrium"):
-                # equilibrium mode (reference VX_Sim.cpp EnableEquilibrium):
-                # zero momenta whenever the 3-step KE sum decreases vs the
-                # previous 3 steps (core.step.py:949-967)
-                v2 = lin[0] * lin[0] + lin[1] * lin[1] + lin[2] * lin[2]
-                w2 = ang[0] * ang[0] + ang[1] * ang[1] + ang[2] * ang[2]
-                ke = 0.5 * jnp.sum(
-                    mass_inv * v2 + inertia_inv * w2, axis=1, keepdims=True
-                )
-                ke_hist = (ke,) + ke_hist[:5]
+                # equilibrium mode: the KineticEDecreasing test reads the
+                # ring BEFORE this step's KE is pushed, and the pushed value
+                # is the POST-zeroing energy (reference: VX_Sim.cpp:1148-1155
+                # + ZeroMotion clearing per-voxel KineticEnergy)
                 decreasing = (
                     ke_hist[0] + ke_hist[1] + ke_hist[2]
                     < ke_hist[3] + ke_hist[4] + ke_hist[5]
                 )
                 lin = [jnp.where(decreasing, 0.0, l) for l in lin]
                 ang = tuple(jnp.where(decreasing, 0.0, a) for a in ang)
+                v2 = lin[0] * lin[0] + lin[1] * lin[1] + lin[2] * lin[2]
+                w2 = ang[0] * ang[0] + ang[1] * ang[1] + ang[2] * ang[2]
+                ke = 0.5 * jnp.sum(
+                    mass_inv * v2 + inertia_inv * w2, axis=1, keepdims=True
+                )
+                ke_hist = (ke,) + ke_hist[:5]
 
             # ---- actuation + linear development (VXS_Voxel.cpp:224-341;
             # mid-life freeze and ballistic devo are outside the fused
@@ -1157,14 +1192,16 @@ def _make_kernel(
                 fzt(carry[14], tsavg_new) if vol else (),
                 fzt(carry[15], csavg_new) if vol else (),
                 fzt(carry[16], ke_hist) if flags.get("equilibrium") else (),
+                fzt(carry[17], (dt,)) if vol else (),
             )
             return carry_new
 
         carry = (pos0, quat0, lin0, ang0, scale0, small0, lp20, la10, la20,
-                 maxs0, t0, div0, ini0, capt0, tsavg0, csavg0, ke0)
+                 maxs0, t0, div0, ini0, capt0, tsavg0, csavg0, ke0,
+                 (dt0,) if vol_outer else ())
         carry = jax.lax.fori_loop(0, num_steps, step, carry)
         (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
-         t, div_f, ini, capt_f, tsavg_f, csavg_f, ke_f) = carry
+         t, div_f, ini, capt_f, tsavg_f, csavg_f, ke_f, dt_f) = carry
 
         # ---- write back ----
         for c in range(3):
@@ -1200,6 +1237,8 @@ def _make_kernel(
         if flags.get("equilibrium"):
             for k in range(6):
                 stats_out[:, _S_KE + k:_S_KE + k + 1] = ke_f[k]
+        if vol_outer:
+            stats_out[:, _S_DT:_S_DT + 1] = dt_f[0]
 
     return kernel
 
@@ -1392,6 +1431,8 @@ def make_stats(
     stats = stats.at[:, _S_GAMP].set(jnp.asarray(env.growth_amplitude, dtype))
     stats = stats.at[:, _S_DRAGC].set(
         jnp.asarray(env.aggregate_drag_coefficient, dtype))
+    # energy-history sentinels (reference ClearHistories, VX_Sim.h:421)
+    stats = stats.at[:, _S_KE:_S_KE + 6].set(-1.0)
     return stats
 
 
@@ -1606,6 +1647,11 @@ def fused_rollout(
             "volume effects enabled but the state has no coupling carry; "
             "create it with init_state(body, volume_effects=True)"
         )
+    if sim.equilibrium_mode:
+        # reference EnableEquilibriumMode damping overrides
+        # (VX_Sim.cpp:1351-1372)
+        sim = sim.replace(bond_damping_z=0.1, slow_damping_z=0.0,
+                          max_velocity_enabled=False)
     X, Y, Z = body.occ.shape
     V = X * Y * Z
     Vp = _cdiv(V, 128) * 128
@@ -1637,6 +1683,7 @@ def fused_rollout(
         slow_damping_z=float(sim.slow_damping_z),
         bond_damping_z=float(sim.bond_damping_z),
         col_damping_z=float(sim.col_damping_z),
+        dt_frac=float(sim.dt_frac),
         freeze=float(sim.mid_life_freeze_time),
         freeze_middle=0.5 * (float(sim.stop_condition_value)
                              - float(sim.init_cm_time)),
@@ -1737,8 +1784,12 @@ class FusedBatchRunner:
             raise ValueError("configuration outside the fused kernel envelope")
         if batch % batch_block:
             raise ValueError(f"batch {batch} % batch_block {batch_block} != 0")
+        if sim.equilibrium_mode:
+            # reference EnableEquilibriumMode damping overrides
+            sim = sim.replace(bond_damping_z=0.1, slow_damping_z=0.0,
+                              max_velocity_enabled=False)
         if dt is None:
-            dt = calc_max_dt(body) * sim.dt_frac
+            dt = calc_max_dt(body, sim.volume_effects_enabled) * sim.dt_frac
         if state is None:
             state = init_state(
                 body, volume_effects=sim.volume_effects_enabled
@@ -1772,6 +1823,7 @@ class FusedBatchRunner:
                 slow_damping_z=float(sim.slow_damping_z),
                 bond_damping_z=float(sim.bond_damping_z),
                 col_damping_z=float(sim.col_damping_z),
+                dt_frac=float(sim.dt_frac),
                 freeze=float(sim.mid_life_freeze_time),
                 freeze_middle=0.5 * (float(sim.stop_condition_value)
                                      - float(sim.init_cm_time)),

@@ -228,6 +228,12 @@ def spatial_rollout(
             total_strain_e=jax.lax.pvary(local_state.total_strain_e, axis),
             max_vox_vel=jax.lax.pvary(local_state.max_vox_vel, axis),
             ke_history=jax.lax.pvary(local_state.ke_history, axis),
+            cur_dt=(jax.lax.pvary(local_state.cur_dt, axis)
+                    if local_state.cur_dt is not None else None),
+            # time advances by the (pmax-agreed) dynamic dt under volume
+            # effects, which marks it varying inside the scan
+            time=(jax.lax.pvary(local_state.time, axis)
+                  if local_state.cur_dt is not None else local_state.time),
         )
 
         def local_cm(st):
@@ -243,7 +249,12 @@ def spatial_rollout(
             captured = captured | capture
 
             ext_state = _halo_extend(st, state_axes, axis, n_dev, w=halo_w)
-            new_ext = sim_step(ext_state, ext_body, sim, env, dt)
+            new_ext = sim_step(
+                ext_state, ext_body, sim, env, dt,
+                # volume effects recompute dt per step from the max bond
+                # frequency — shards must agree on the GLOBAL max
+                dt_reduce=lambda f: jax.lax.pmax(f, axis),
+            )
             new_st = _interior(new_ext, state_axes, w=halo_w)
             # all shards must agree on the divergence latch
             new_st = new_st.replace(
@@ -252,7 +263,15 @@ def spatial_rollout(
             )
             return (new_st, ini_cm, captured), ()
 
-        carry0 = (local_state, local_cm(local_state), jnp.zeros((), bool))
+        if local_state.cur_dt is not None:
+            # the dynamic-dt time makes capture flags varying as well
+            carry0 = (
+                local_state,
+                jax.lax.pvary(local_cm(local_state), axis),
+                jax.lax.pvary(jnp.zeros((), bool), axis),
+            )
+        else:
+            carry0 = (local_state, local_cm(local_state), jnp.zeros((), bool))
         (final, ini_cm, _), _ = jax.lax.scan(
             step_fn, carry0, None, length=num_steps
         )
@@ -266,6 +285,14 @@ def spatial_rollout(
             total_strain_e=jax.lax.pmean(final.total_strain_e, axis),
             max_vox_vel=jax.lax.pmax(final.max_vox_vel, axis),
         )
+        if final.cur_dt is not None:
+            # dynamic-dt carries are identical on every shard (the in-step
+            # pmax agrees on the bound); pmax just restores replication
+            final = final.replace(
+                cur_dt=jax.lax.pmax(final.cur_dt, axis),
+                time=jax.lax.pmax(final.time, axis),
+            )
+            ini_cm = jax.lax.pmax(ini_cm, axis)
 
         final_cm = local_cm(final)
         delta = final_cm - ini_cm

@@ -63,8 +63,12 @@ def _run_reference_trace(tmp_path, structure, sim, env, voxel_arrays=None):
 def _our_com_rows(vxa, n_steps):
     doc = load_vxa(vxa)
     body = doc.build_body(dtype=np.float64)
-    dt = float(calc_max_dt(body)) * float(doc.sim.dt_frac)
-    state = init_state(body)
+    dt = float(
+        calc_max_dt(body, doc.sim.volume_effects_enabled)
+    ) * float(doc.sim.dt_frac)
+    state = init_state(
+        body, volume_effects=doc.sim.volume_effects_enabled
+    )
     step = jax.jit(lambda s: sim_step(s, body, doc.sim, doc.env, dt))
     mass = np.asarray(body.mass)
     tot = mass.sum()
@@ -77,13 +81,14 @@ def _our_com_rows(vxa, n_steps):
 
 
 def _aligned_error(ref_trace, our_rows, dt):
-    """Max |CoM_ref - CoM_ours| over reference trace rows, matched by step
-    index (the reference starts tracing only after InitCmTime)."""
+    """Max |CoM_ref - CoM_ours| over reference trace rows, matched by
+    nearest step time (the reference starts tracing only after InitCmTime;
+    under volume effects dt itself evolves per step, so index arithmetic
+    cannot align the rows)."""
     errs = []
     for row in ref_trace:
-        i = int(round(row[0] / dt)) - 1
-        if 0 <= i < len(our_rows):
-            assert abs(our_rows[i, 0] - row[0]) < 0.5 * dt
+        i = int(np.argmin(np.abs(our_rows[:, 0] - row[0])))
+        if abs(our_rows[i, 0] - row[0]) < 0.25 * dt:
             errs.append(np.abs(row[1:] - our_rows[i, 1:]).max())
     assert errs
     return np.array(errs)
@@ -184,6 +189,78 @@ def test_sticky_floor_parity(tmp_path):
     doc = load_vxa(vxa)
     assert np.array_equal(doc.structure, structure)  # ZLIB round-trip
     assert doc.env.sticky_floor
+    res = run_reference(vxa, BINARY)
+    ref_trace = np.array(res["cm_trace"])
+    ours, dt = _our_com_rows(vxa, len(ref_trace) + 2)
+    errs = _aligned_error(ref_trace, ours, dt)
+    assert errs.max() < 2e-7
+
+
+def test_volume_effects_parity(tmp_path):
+    """Volume effects: Poisson strain coupling + thermal stress actuation
+    (reference: VXS_BondInternal.cpp:200-298, VXS_Voxel.cpp:543-632) against
+    the binary with VolumeEffectsEnabled=1."""
+    structure = np.zeros((2, 2, 2), dtype=np.int32)
+    structure[:, :, 0] = 3
+    structure[:, :, 1] = 1
+    sim = SimParams(stop_condition_value=0.06, init_cm_time=0.01,
+                    volume_effects_enabled=True)
+    env = EnvParams()
+    vxa, _, ref_trace = _run_reference_trace(tmp_path, structure, sim, env)
+    ours, dt = _our_com_rows(vxa, len(ref_trace) + 2)
+    errs = _aligned_error(ref_trace, ours, dt)
+    assert errs.max() < 2e-7
+
+
+def test_max_velocity_clamp_parity(tmp_path):
+    """MaxVelLimit displacement clamp (reference: VXS_Voxel.cpp:188-192)
+    with a limit tight enough to bind during the drop."""
+    structure = np.zeros((1, 1, 2), dtype=np.int32)
+    structure[0, 0, :] = 3
+    sim = SimParams(stop_condition_value=0.05, init_cm_time=0.01,
+                    max_velocity_enabled=True, max_vox_vel_limit=1e-3)
+    env = EnvParams()
+    vxa, _, ref_trace = _run_reference_trace(tmp_path, structure, sim, env)
+    ours, dt = _our_com_rows(vxa, len(ref_trace) + 2)
+    errs = _aligned_error(ref_trace, ours, dt)
+    assert errs.max() < 2e-7
+
+
+def test_equilibrium_mode_parity(tmp_path):
+    """Equilibrium mode: motion zeroed whenever the recent KE sum decreases
+    (reference: VX_Sim.cpp:1374-1396 ZeroAllMotion)."""
+    structure = np.zeros((1, 1, 2), dtype=np.int32)
+    structure[0, 0, :] = 1
+    sim = SimParams(stop_condition_value=0.05, init_cm_time=0.0,
+                    equilibrium_mode=True)
+    env = EnvParams(temp_enabled=False)
+    vxa, _, ref_trace = _run_reference_trace(tmp_path, structure, sim, env)
+    ours, dt = _our_com_rows(vxa, len(ref_trace) + 2)
+    errs = _aligned_error(ref_trace, ours, dt)
+    assert errs.max() < 2e-7
+
+
+def test_mdl_data_material_parity(tmp_path):
+    """MDL_DATA stress-strain point tables (reference:
+    VX_Object.cpp:1499-1532 GetModelStress + ValidateSSData): an actuated
+    column of a DATA-model material whose table kinks inside the actuation
+    strain range must track the reference per-step."""
+    from evosoro_tpu.core.types import MDL_DATA, Material
+
+    E = 5e6
+    mats = [
+        Material(1, "data_soft", mat_model=MDL_DATA, cte=0.02,
+                 density=1e6, poissons_ratio=0.35,
+                 ss_strain=(0.0, 0.005, 0.05, 0.5),
+                 ss_stress=(0.0, E * 0.005, E * 0.009, E * 0.012)),
+    ]
+    structure = np.ones((1, 1, 2), dtype=np.int32)
+    sim = SimParams(stop_condition_value=0.05, init_cm_time=0.01)
+    env = EnvParams(temp_amplitude=25.0)
+    vxa = tmp_path / "mdl_data.vxa"
+    write_vxa(vxa, structure, mats, sim=sim, env=env,
+              fitness_file_name="out.xml", save_traces=True,
+              time_between_traces=1e-6)
     res = run_reference(vxa, BINARY)
     ref_trace = np.array(res["cm_trace"])
     ours, dt = _our_com_rows(vxa, len(ref_trace) + 2)
