@@ -249,6 +249,9 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
 
     flags["collision"] = bool(with_collision)
 
+    # measured on-chip: wider batch blocks gain only ~3% even for 1-2-tile
+    # bodies (the per-step op chain pipelines across grid programs), while
+    # padding small pops to wider blocks costs real work — keep 8
     @jax.jit
     def fn(structures, voxel_fields, _sim_unused, env_batch, stop_time,
            collision_packed=None):
