@@ -54,12 +54,40 @@ def main():
         cost = solve(r + 1)
     elapsed = (time.perf_counter() - t0) / reps
 
+    # SQP (Gauss–Newton/LM with matrix-free CG on JᵀJ — the "QP kernel"):
+    # one solve = num_iters damped-Newton iterations, each a vjp-linearized
+    # rollout + cg_iters CG steps of jvp∘vjp products
+    from evosoro_tpu.control.sqp import SQPConfig, sqp_optimize
+
+    sqp_cfg = SQPConfig(num_iters=4, cg_iters=5, n_res=8)
+    sqp_steps = (PLAN_STEPS // 2) if on_tpu else 10
+    # free-space tracking target: BPTT through Coulomb-friction floor
+    # contact is not differentiable at the stick/slip switches
+    sqp_env = EnvParams(gravity_enabled=False, floor_enabled=False)
+
+    def sqp_solve(target):
+        u, info = sqp_optimize(
+            body, sim, sqp_env, sqp_steps, KNOTS, target=target,
+            config=sqp_cfg, dt=dt,
+        )
+        return float(info["best_cost"])  # sync
+
+    sqp_cost = sqp_solve(0.4)  # warm/compile
+    t0 = time.perf_counter()
+    for r in range(reps):
+        sqp_cost = sqp_solve(0.4 + 0.01 * r)
+    sqp_elapsed = (time.perf_counter() - t0) / reps
+
     horizon_s = PLAN_STEPS * float(dt)
     rollouts = cfg.num_iters * int(np.ceil(cfg.pop_size / 8) * 8)
     out = {
         "metric": "mpc_solves_per_sec",
         "value": round(1.0 / elapsed, 3),
         "unit": "solves/s",
+        "sqp_solves_per_sec": round(1.0 / sqp_elapsed, 3),
+        "sqp_config": {"num_iters": sqp_cfg.num_iters,
+                       "cg_iters": sqp_cfg.cg_iters,
+                       "plan_steps": sqp_steps, "best_cost": float(sqp_cost)},
         "plan_steps": PLAN_STEPS,
         "horizon_s": round(horizon_s, 5),
         "rollouts_per_solve": rollouts,
