@@ -73,6 +73,49 @@ def sharded_rollout_fn(
     )
 
 
+def sharded_fused_rollout(
+    batched_state,
+    body,
+    sim,
+    env,
+    num_steps: int,
+    dt,
+    mesh: Mesh,
+    axis_name: str = "rollout",
+    interpret: bool = False,
+    batch_block: int = 8,
+):
+    """Fused Pallas rollout data-parallel over a device mesh.
+
+    pallas_call has no SPMD partitioning rule, so sharded inputs under plain
+    jit would force a gather; the production multi-chip path wraps the
+    kernel in `shard_map` — each device runs its own grid over its local
+    batch shard (B/n_dev must divide by `batch_block`), and any cross-batch
+    fitness reductions downstream ride XLA collectives. Returns
+    (new_state, FastRolloutStats) with batch-sharded leaves."""
+    try:
+        from jax import shard_map
+    except ImportError:  # jax < 0.7 layout
+        from jax.experimental.shard_map import shard_map
+
+    from evosoro_tpu.ops.fused_rollout import fused_rollout
+
+    def local_fn(local_state):
+        return fused_rollout(
+            local_state, body, sim, env, num_steps=num_steps, dt=dt,
+            interpret=interpret, batch_block=batch_block,
+        )
+
+    spec_of = lambda x: P(axis_name, *([None] * (x.ndim - 1)))  # noqa: E731
+    in_specs = (jax.tree_util.tree_map(spec_of, batched_state),)
+    out_specs = jax.eval_shape(local_fn, batched_state)
+    out_specs = jax.tree_util.tree_map(spec_of, out_specs)
+    return shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(batched_state)
+
+
 def scaling_report(
     fn: Callable,
     make_batch: Callable[[int], Any],
