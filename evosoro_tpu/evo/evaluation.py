@@ -203,6 +203,7 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         equilibrium=bool(sim_params.equilibrium_mode),
         freeze_on=float(sim_params.mid_life_freeze_time) > 0.0,
         max_vel=bool(sim_params.max_velocity_enabled),
+        plasticity=bool(sim_params.plasticity_enabled),
         # bilinear palettes run the in-kernel nonlinear stress path
         # (MDL_DATA palettes are routed to the jnp evaluator by supports())
         nonlinear=bool(np.any(np.asarray(palette.mat_model) == 2)),
@@ -537,6 +538,10 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
     if with_collision:
         probe_body = probe_body.replace(collision=collision_systems[0])
     can_fuse = fused_supports(probe_body, sim_params, all_env[0])
+    # the evaluator does not stream per-individual MDL_DATA tables into the
+    # kernel (fused_rollout/FusedBatchRunner do); route such palettes to
+    # the jnp path
+    can_fuse = can_fuse and probe_body.ss_strain_vox is None
     if with_collision:
         # the evaluator streams PER-INDIVIDUAL dense pair fields as a
         # (batch_block=8, Vp, Vp) VMEM block — supports()'s 2048-lane bound

@@ -6,16 +6,17 @@ voxelyzeMain/main.cpp:89-131). The in-kernel feature envelope covers the
 engine features real experiments use — linear materials, beam bonds with
 small/large-angle hysteresis + critical damping, floor contact with Coulomb
 friction (sticky/plain), gravity, thermal sinusoidal actuation, growth/devo
-ramps + mid-life freeze, bilinear material models, volume effects (Poisson
-coupling + thermal stress), self-collision (dense pair field, see
+ramps + mid-life freeze, ALL FOUR material models (linear / linear-fail /
+bilinear / MDL_DATA point tables via a streamed side-table buffer), bond
+plasticity, volume effects (Poisson coupling + thermal stress + the
+per-step dynamic dt), self-collision (dense pair field, see
 `_pair_contact_forces`), fluid environments with voxel-face drag,
 equilibrium mode, max-velocity clamping, divergence + stop-time freezing
 (reference hot path: VX_Sim.cpp:1763 Integrate → VXS_BondInternal.cpp:56
 CalcLinForce → VXS_Voxel.cpp:169 EulerStep). The remaining combinations
-(MDL_DATA point tables, plasticity, ballistic devo, BC regions,
-deformed-mesh facet drag, env sources, trace-window fitness features) use
-the general jnp stencil in `core.step` — `supports()` reports whether a
-(body, sim, env) config can run here.
+(ballistic devo, BC regions, deformed-mesh facet drag, env sources,
+trace-window fitness features) use the general jnp stencil in `core.step`
+— `supports()` reports whether a (body, sim, env) config can run here.
 
 Why a kernel at all: the jnp scan streams ~50 state floats per voxel through
 HBM **every step**. This kernel keeps the whole simulation state VMEM-resident
@@ -79,7 +80,8 @@ _MAXS = 44  # 44..46
 # averages (core/step.py:281,377), so the packed state carries the averages
 _TSAVG = 47  # 47..49
 _CSAVG = 50  # 50..52
-C_S = 56  # 53 used, padded to a sublane multiple
+_SOFF = 53  # 53..55 per-direction plastic strain offset
+C_S = 56
 
 # body channels (C_B = 72)
 _B_OCC = 0
@@ -339,19 +341,44 @@ def _roll_from_nbr(a, stride):
 # ---------------------------------------------------------------------------
 
 
-def _vox_mat_stress_k(strain, e, mm, pm, ys):
-    """Linear/bilinear material stress on (b, Vp) channels (kernel analog of
-    core.step._vox_mat_stress; MDL_DATA stays outside the fused envelope)."""
+def _vox_mat_stress_k(strain, e, mm, pm, ys, ss=None):
+    """Material stress on (b, Vp) channels (kernel analog of
+    core.step._vox_mat_stress). `ss`: optional MDL_DATA channel dict with
+    xs/ys point lists + fail/last_stress/last_slope, mirroring the
+    vectorized segment search of core.step.py."""
     linear = e * strain
     ystrain = _safe_div(ys, e)
     bilinear = jnp.where(
         strain > ystrain, ys + pm * (strain - ystrain), linear
     )
-    return jnp.where(mm > 1.5, bilinear, linear)  # MDL_BILINEAR == 2
+    out = jnp.where(mm > 1.5, bilinear, linear)  # MDL_BILINEAR == 2
+    if ss is not None:
+        xs, ys_t = ss["xs"], ss["ys"]  # lists of P (b, Vp) channels
+        P = len(xs)
+        # first segment i with xs[i+1] > strain (i1-safe select-sums)
+        seg = jnp.zeros_like(strain)
+        for k in range(1, P - 1):
+            seg = seg + jnp.where(xs[k] <= strain, 1.0, 0.0)
+        x1 = jnp.zeros_like(strain)
+        x2 = jnp.zeros_like(strain)
+        y1 = jnp.zeros_like(strain)
+        y2 = jnp.zeros_like(strain)
+        for k in range(P - 1):
+            hit = jnp.where(seg == k, 1.0, 0.0)
+            x1 = x1 + hit * xs[k]
+            x2 = x2 + hit * xs[k + 1]
+            y1 = y1 + hit * ys_t[k]
+            y2 = y2 + hit * ys_t[k + 1]
+        interp = y1 + _safe_div(strain - x1, x2 - x1) * (y2 - y1)
+        past = ss["last_stress"] + ss["last_slope"] * (strain - ss["fail"])
+        data = jnp.where(strain < ss["fail"], interp, past)
+        out = jnp.where(mm > 2.5, data, out)  # MDL_DATA == 3
+    return out
 
 
 def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
-              vol_ctx=None, nonlinear=False):
+              vol_ctx=None, nonlinear=False, plasticity=False,
+              ss_ctx=None):
     """Port of core.step._bond_axis_forces for one lattice direction on
     (b, Vp) component arrays. Returns force/moment/memory dict.
 
@@ -448,25 +475,34 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
         hom = bd(_D_HOM) > 0.5  # no near-equal widening in this mode
         sv = jnp.where(hom, jnp.where(mask, strain, 0.0), 0.0)
     elif nonlinear:
-        # bilinear materials: per-side stress with the reference's
-        # 3-iteration stress-equalization loop (core.step.py:297-328;
-        # VXS_BondInternal.cpp:237-253)
+        # bilinear / MDL_DATA materials: per-side stress with the
+        # reference's 3-iteration stress-equalization loop
+        # (core.step.py:297-328; VXS_BondInternal.cpp:237-253)
         side1 = (body_at(_B_EMOD), body_at(_B_MATMODEL),
                  body_at(_B_PLASTIC), body_at(_B_YIELD))
         side2 = tuple(_roll_nbr(a, stride) for a in side1)
+        ss1 = ss2 = None
+        if ss_ctx is not None:
+            ss1 = ss_ctx
+            ss2 = {
+                k: ([_roll_nbr(c, stride) for c in v]
+                    if isinstance(v, list)
+                    else _roll_nbr(v, stride))
+                for k, v in ss_ctx.items()
+            }
         sv1 = strain
         sv2 = strain
-        s1 = _vox_mat_stress_k(sv1, *side1)
-        s2 = _vox_mat_stress_k(sv2, *side2)
+        s1 = _vox_mat_stress_k(sv1, *side1, ss=ss1)
+        s2 = _vox_mat_stress_k(sv2, *side2, ss=ss2)
         for _ in range(3):
             ssum = s1 + s2
             converged = jnp.abs(s1 - s2) <= 0.0005 * jnp.abs(ssum)
             sv1 = jnp.where(converged, sv1, 2.0 * _safe_div(s2, ssum) * sv1)
             sv2 = jnp.where(converged, sv2, 2.0 * _safe_div(s1, ssum) * sv2)
-            s1 = _vox_mat_stress_k(sv1, *side1)
-            s2 = _vox_mat_stress_k(sv2, *side2)
+            s1 = _vox_mat_stress_k(sv1, *side1, ss=ss1)
+            s2 = _vox_mat_stress_k(sv2, *side2, ss=ss2)
         hom = bd(_D_HOM) > 0.5
-        stress_hom = _vox_mat_stress_k(strain, *side1)
+        stress_hom = _vox_mat_stress_k(strain, *side1, ss=ss1)
         stress = jnp.where(hom, stress_hom, 0.5 * (s1 + s2))
         sv = None
     else:
@@ -477,7 +513,21 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
         stress = jnp.where(hom, 0.5 * s_sum * strain, E * strain)
         sv = None
 
-    max_strain = jnp.maximum(st["maxs"][d], strain)
+    if plasticity:
+        # plastic high-water memory (reference VXS_BondInternal.cpp:193-207:
+        # new-territory strains follow the material curve; inside it the
+        # stress unloads linearly from the strain offset)
+        E_pl = bd(_D_E)
+        so = st["soff"][d]
+        new_territory = strain >= st["maxs"][d]
+        stress = jnp.where(new_territory, stress, E_pl * (strain - so))
+        max_strain = jnp.maximum(st["maxs"][d], strain)
+        soff_new = jnp.where(
+            new_territory, max_strain - _safe_div(stress, E_pl), so
+        )
+    else:
+        max_strain = jnp.maximum(st["maxs"][d], strain)
+        soff_new = None
 
     # beam forces/moments in the bond frame (reference: :122-154)
     b1, b2, b3, a2c = bd(_D_B1), bd(_D_B2), bd(_D_B3), bd(_D_A2)
@@ -569,6 +619,7 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
         la1=keepv(la1, _a1),
         la2=keepv(la2, _a2),
         maxs=jnp.where(mask, max_strain, 0.0),
+        soff=(jnp.where(mask, soff_new, 0.0) if plasticity else None),
         sv=sv,  # homogeneous per-side strain (volume-effects voxel pass)
     )
 
@@ -630,6 +681,7 @@ def _make_kernel(
         state_in = refs.pop(0)
         body_ref = refs.pop(0)
         col_ref = refs.pop(0) if flags.get("collision") else None
+        ss_ref = refs.pop(0) if flags.get("mdl_data") else None
         stats_in = refs.pop(0)
         ctrl_ref = refs.pop(0) if n_knots else None
         state_out, stats_out = refs
@@ -658,6 +710,9 @@ def _make_kernel(
         la10 = tuple(tuple(ch(_LA1 + 3 * d + c) for c in range(3)) for d in range(3))
         la20 = tuple(tuple(ch(_LA2 + 3 * d + c) for c in range(3)) for d in range(3))
         maxs0 = tuple(ch(_MAXS + d) for d in range(3))
+        plasticity = bool(flags.get("plasticity"))
+        soff0 = (tuple(ch(_SOFF + d) for d in range(3)) if plasticity
+                 else ())
 
         def stat(k):
             return stats_in[:, k:k + 1]  # (b, 1)
@@ -711,6 +766,25 @@ def _make_kernel(
         else:
             ke0 = ()
 
+        if ss_ref is not None:
+            P_ss = (ss_ref.shape[1] - 3) // 2
+            ss_ctx = dict(
+                xs=[ss_ref[0, k, :][None] if ss_ref.shape[0] == 1
+                    else ss_ref[:, k, :] for k in range(P_ss)],
+                ys=[ss_ref[0, P_ss + k, :][None] if ss_ref.shape[0] == 1
+                    else ss_ref[:, P_ss + k, :] for k in range(P_ss)],
+                fail=(ss_ref[0, 2 * P_ss, :][None]
+                      if ss_ref.shape[0] == 1 else ss_ref[:, 2 * P_ss, :]),
+                last_stress=(ss_ref[0, 2 * P_ss + 1, :][None]
+                             if ss_ref.shape[0] == 1
+                             else ss_ref[:, 2 * P_ss + 1, :]),
+                last_slope=(ss_ref[0, 2 * P_ss + 2, :][None]
+                            if ss_ref.shape[0] == 1
+                            else ss_ref[:, 2 * P_ss + 2, :]),
+            )
+        else:
+            ss_ctx = None
+
         vol = vol_outer = bool(flags.get("volume"))
         if vol:
             e_mod_v = body_at(_B_EMOD)
@@ -726,7 +800,8 @@ def _make_kernel(
 
         def step(i, carry):
             (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
-             t, div_f, ini, capt_f, tsavg, csavg, ke_hist, dt_carry) = carry
+             t, div_f, ini, capt_f, tsavg, csavg, ke_hist, dt_carry,
+             soff) = carry
             small = tuple(sf > 0.5 for sf in small_f)
             div = div_f > 0.5
             capt = capt_f > 0.5
@@ -754,6 +829,7 @@ def _make_kernel(
             st = dict(
                 pos=pos, quat=quat, scale=scale, small=small,
                 lp2=lp2, la1=la1, la2=la2, maxs=maxs,
+                soff=soff if plasticity else None,
             )
 
             # ---- bond pass ----
@@ -786,7 +862,8 @@ def _make_kernel(
             bonds = [
                 _bond_dir(d, strides[d], st, body_at, sc_step, prec,
                           vol_ctx=vol_ctxs[d],
-                          nonlinear=bool(flags.get("nonlinear")))
+                          nonlinear=bool(flags.get("nonlinear")),
+                          plasticity=plasticity, ss_ctx=ss_ctx)
                 for d in range(3)
             ]
 
@@ -1193,15 +1270,20 @@ def _make_kernel(
                 fzt(carry[15], csavg_new) if vol else (),
                 fzt(carry[16], ke_hist) if flags.get("equilibrium") else (),
                 fzt(carry[17], (dt,)) if vol else (),
+                (tuple(
+                    jnp.where(frozen, o, bonds[d]["soff"])
+                    for d, o in enumerate(carry[18])
+                ) if plasticity else ()),
             )
             return carry_new
 
         carry = (pos0, quat0, lin0, ang0, scale0, small0, lp20, la10, la20,
                  maxs0, t0, div0, ini0, capt0, tsavg0, csavg0, ke0,
-                 (dt0,) if vol_outer else ())
+                 (dt0,) if vol_outer else (), soff0)
         carry = jax.lax.fori_loop(0, num_steps, step, carry)
         (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
-         t, div_f, ini, capt_f, tsavg_f, csavg_f, ke_f, dt_f) = carry
+         t, div_f, ini, capt_f, tsavg_f, csavg_f, ke_f, dt_f,
+         soff_f) = carry
 
         # ---- write back ----
         for c in range(3):
@@ -1224,9 +1306,9 @@ def _make_kernel(
         for c in range(3):
             state_out[:, _TSAVG + c, :] = tsavg_f[c] if vol else zero
             state_out[:, _CSAVG + c, :] = csavg_f[c] if vol else zero
-        # pad channels must be written for a fully-defined output
-        for c in range(_CSAVG + 3, C_S):
-            state_out[:, c, :] = zero
+            state_out[:, _SOFF + c, :] = (
+                soff_f[c] if flags.get("plasticity") else zero
+            )
 
         stats_out[:, :] = stats_in[:, :]
         stats_out[:, _S_TIME:_S_TIME + 1] = t
@@ -1286,6 +1368,9 @@ def pack_state(state: SimState, Vp: int, dtype=jnp.float32):
             chans[_CSAVG + d] = f(
                 0.5 * (state.cs_area[:, 0, d] + state.cs_area[:, 1, d])
             )
+    if state.strain_offset is not None:
+        for d in range(3):
+            chans[_SOFF + d] = f(state.strain_offset[:, d])
     zero = jnp.zeros((B, Vp), dtype)
     chans = [zero if c is None else c for c in chans]
     return jnp.stack(chans, axis=1)
@@ -1318,6 +1403,10 @@ def unpack_state(packed, template: SimState, grid_shape) -> SimState:
         [jnp.stack([g(_LA2 + 3 * d + c) for c in range(3)], axis=-1)
          for d in range(3)], axis=1)
     extra = {}
+    if template.strain_offset is not None:
+        extra["strain_offset"] = jnp.stack(
+            [g(_SOFF + d) for d in range(3)], axis=1
+        )
     if template.ts_sum is not None:
         # both sides get the average — behavior-identical: the step only
         # consumes the side averages (core/step.py:281,377)
@@ -1403,6 +1492,20 @@ def pack_collision(colsys, Vp: int, grid_shape, dtype=jnp.float32):
     # .add not .set: pad entries carry flat index 0 and must not clobber a
     # real voxel-0 row (their pair values are 0)
     return dense.at[flat[:, None], flat[None, :]].add(pair)
+
+
+def pack_ss_tables(body, Vp: int, dtype=jnp.float32):
+    """MDL_DATA per-voxel stress-strain tables -> (2P+3, Vp) channel block
+    (xs_0..xs_{P-1}, ys_0..ys_{P-1}, fail_strain, last_stress, last_slope).
+    Streamed as an optional kernel input only when a palette entry is
+    MDL_DATA, so the common case pays nothing."""
+    P = body.ss_strain_vox.shape[-1]
+    f = lambda a: _flat(a, Vp).astype(dtype)  # noqa: E731
+    chans = [f(body.ss_strain_vox[..., k]) for k in range(P)]
+    chans += [f(body.ss_stress_vox[..., k]) for k in range(P)]
+    chans += [f(body.ss_fail_strain_vox), f(body.ss_last_stress_vox),
+              f(body.ss_last_slope_vox)]
+    return jnp.stack(chans, axis=0)[None]
 
 
 def make_stats(
@@ -1501,11 +1604,7 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
     # ~2k lanes the table and its temporaries outgrow VMEM
     collision_ok = body.collision is None or Vp <= 2048
     return (
-        # linear + bilinear material models run in-kernel; MDL_DATA point
-        # tables stay on the jnp path
-        body.ss_strain_vox is None
-        and collision_ok
-        and not sim.plasticity_enabled
+        collision_ok
         # fluid runs in-kernel with the voxel-face drag model; bodies with a
         # deformed-mesh facet-drag system use the jnp path (envs/drag.py)
         and not (env.fluid_environment and body.mesh_drag is not None)
@@ -1533,6 +1632,7 @@ def _fused_call(
     stats,
     control_packed,
     collision_packed=None,
+    ss_packed=None,
     *,
     num_steps: int,
     grid_shape,
@@ -1579,6 +1679,16 @@ def _fused_call(
         )
         in_specs.append(col_spec)
         inputs.append(collision_packed)
+    if dict(flags).get("mdl_data"):
+        shared_ss = ss_packed.shape[0] == 1
+        c_ss = ss_packed.shape[1]
+        ss_spec = pl.BlockSpec(
+            (1 if shared_ss else b, c_ss, Vp),
+            (lambda i: (0, 0, 0)) if shared_ss else (lambda i: (i, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs.append(ss_spec)
+        inputs.append(ss_packed)
     in_specs.append(stats_spec)
     inputs.append(stats)
     if n_knots:
@@ -1667,6 +1777,9 @@ def fused_rollout(
         collision_packed = pack_collision(
             body.collision, Vp, (X, Y, Z), dtype
         )[None]  # shared across the batch
+    ss_packed = None
+    if body.ss_strain_vox is not None:
+        ss_packed = pack_ss_tables(body, Vp, dtype)
     if stats is None:
         stats = make_stats(body, B, dt, sim, env, stop_time, dtype)
 
@@ -1702,6 +1815,8 @@ def fused_rollout(
         freeze_on=float(sim.mid_life_freeze_time) > 0.0,
         max_vel=bool(sim.max_velocity_enabled),
         nonlinear=not bool(body.all_linear),
+        plasticity=bool(sim.plasticity_enabled),
+        mdl_data=ss_packed is not None,
         collision=collision_packed is not None,
         use_init_size=bool(body.using_initial_voxel_size),
         use_final_size=bool(body.using_final_voxel_size),
@@ -1719,6 +1834,7 @@ def fused_rollout(
         stats,
         control_packed,
         collision_packed,
+        ss_packed,
         num_steps=num_steps,
         grid_shape=(X, Y, Z),
         batch_block=batch_block,
@@ -1811,6 +1927,9 @@ class FusedBatchRunner:
             self.collision_packed = pack_collision(
                 body.collision, self.Vp, self.grid_shape, jnp.float32
             )[None]
+        self.ss_packed = None
+        if body.ss_strain_vox is not None:
+            self.ss_packed = pack_ss_tables(body, self.Vp, jnp.float32)
         self.stats = make_stats(body, batch, dt, sim, env, stop_time)
         self._call_kwargs = dict(
             num_steps=num_steps,
@@ -1843,6 +1962,8 @@ class FusedBatchRunner:
                 freeze_on=float(sim.mid_life_freeze_time) > 0.0,
                 max_vel=bool(sim.max_velocity_enabled),
                 nonlinear=not bool(body.all_linear),
+                plasticity=bool(sim.plasticity_enabled),
+                mdl_data=self.ss_packed is not None,
                 collision=self.collision_packed is not None,
                 use_init_size=bool(body.using_initial_voxel_size),
                 use_final_size=bool(body.using_final_voxel_size),
@@ -1859,7 +1980,7 @@ class FusedBatchRunner:
         ctrl_packed = self._flat_jit(controls.astype(jnp.float32), self.Vp)
         out_state, out_stats = _fused_call(
             self.state_packed, self.body_packed, self.stats, ctrl_packed,
-            self.collision_packed,
+            self.collision_packed, self.ss_packed,
             **self._call_kwargs,
         )
         return packed_metrics(out_state, self.body_packed, out_stats, self.L)

@@ -504,6 +504,85 @@ def test_fused_max_velocity_clamp_matches_jnp():
                            atol=1e-10)
 
 
+def test_fused_mdl_data_matches_jnp():
+    """MDL_DATA point-table materials in-kernel (streamed side-table
+    buffer + the same vectorized segment search as core.step): actuation
+    drives strains past the table kink, trajectories must match jnp."""
+    from evosoro_tpu.core.types import MDL_DATA, Material
+
+    E = 5e6
+    mats = [
+        Material(1, "data_soft", mat_model=MDL_DATA, cte=0.02,
+                 ss_strain=(0.0, 0.001, 0.05, 0.5),
+                 ss_stress=(0.0, E * 0.001, E * 0.0015, E * 0.0017)),
+        Material(2, "data_stiff", mat_model=MDL_DATA, cte=-0.02,
+                 ss_strain=(0.0, 0.002, 0.1),
+                 ss_stress=(0.0, E * 0.004, E * 0.006)),
+    ]
+    rng = np.random.default_rng(17)
+    n = 4
+    structure = rng.integers(1, 3, size=(n, n, n)).astype(np.int32)
+    phase = rng.uniform(-1, 1, size=(n, n, n))
+    body = build_body(structure, palette_from_list(mats), phase_offset=phase)
+    assert body.ss_strain_vox is not None
+    sim = SimParams(init_cm_time=0.0)
+    env = EnvParams(temp_amplitude=25.0)
+    assert supports(body, sim, env)
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = init_state(body)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    steps = 80
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    # the nonlinear region must actually be exercised
+    assert float(np.abs(np.asarray(ref.max_strain)).max()) > 0.001
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-4, atol=5e-8
+    )
+    assert not bool(np.any(np.asarray(stats.diverged)))
+
+
+def test_fused_plasticity_matches_jnp():
+    """Bond plasticity (high-water max-strain memory + linear unloading from
+    the strain offset, reference VXS_BondInternal.cpp:193-207) in-kernel:
+    actuation cycles strain past its high-water mark and back, so the
+    offset path must engage and match the jnp step."""
+    batched, body, sim, env, dt = _make(n=4, seed=21)
+    sim = sim.replace(plasticity_enabled=True, init_cm_time=0.0)
+    assert supports(body, sim, env)
+    steps = 80
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    # the plastic memory must actually be active
+    assert float(np.abs(np.asarray(ref.strain_offset)).max()) > 0
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-4, atol=2e-8
+    )
+    # strain − (E·strain)/E rounds to ±1 ulp (~1.5e-8) differently between
+    # the two op orders; offsets at play are ≳1e-4
+    np.testing.assert_allclose(
+        np.asarray(out.strain_offset), np.asarray(ref.strain_offset),
+        rtol=1e-3, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.max_strain), np.asarray(ref.max_strain),
+        rtol=1e-4, atol=1e-10,
+    )
+    assert not bool(np.any(np.asarray(stats.diverged)))
+    # and the trajectory differs from the non-plastic one (plastic
+    # unloading effects are small at this horizon — compare exactly)
+    ref0 = _jnp_steps(batched, body, sim.replace(plasticity_enabled=False),
+                      env, dt, steps)
+    assert not np.allclose(np.asarray(ref.pos), np.asarray(ref0.pos),
+                           rtol=0, atol=1e-12)
+
+
 def test_fused_volume_effects_requires_coupling_state():
     batched, body, sim, env, dt = _make(n=4)
     with pytest.raises(ValueError):
@@ -518,7 +597,9 @@ def test_supports_rejects_featureful_configs():
     assert supports(body, sim, env)
     assert supports(body, sim.replace(volume_effects_enabled=True), env)
     assert supports(body, sim, env.replace(fluid_environment=True))
-    assert not supports(body, sim.replace(plasticity_enabled=True), env)
+    assert supports(body, sim.replace(plasticity_enabled=True), env)
+    assert not supports(body, sim, env.replace(needle_in_haystack=True))
+    assert not supports(body, sim, env.replace(falling_prohibited=True))
     # fluid with a deformed-mesh drag system → jnp facet path only
     from evosoro_tpu.envs.drag import attach_mesh_drag
 
@@ -526,6 +607,6 @@ def test_supports_rejects_featureful_configs():
     assert not supports(body_mesh, sim, env.replace(fluid_environment=True))
     with pytest.raises(ValueError):
         fused_rollout(
-            batched, body, sim.replace(plasticity_enabled=True), env,
+            batched, body, sim, env.replace(needle_in_haystack=True),
             num_steps=1, dt=dt, interpret=True,
         )

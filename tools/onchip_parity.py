@@ -102,6 +102,33 @@ def _scenario_equilibrium_maxvel(rng):
     return body, sim, EnvParams(), {}
 
 
+def _scenario_plasticity(rng):
+    s = rng.integers(1, 5, size=(4, 4, 4)).astype(np.int32)
+    body = build_body(s, palette_from_list(evosoro_default_palette()),
+                      phase_offset=rng.uniform(-1, 1, size=s.shape))
+    return body, SimParams(init_cm_time=0.0, plasticity_enabled=True), \
+        EnvParams(), {}
+
+
+def _scenario_mdl_data(rng):
+    from evosoro_tpu.core.types import MDL_DATA, Material
+
+    E = 5e6
+    mats = [
+        Material(1, "d1", mat_model=MDL_DATA, cte=0.02,
+                 ss_strain=(0.0, 0.001, 0.05, 0.5),
+                 ss_stress=(0.0, E * 0.001, E * 0.0015, E * 0.0017)),
+        Material(2, "d2", mat_model=MDL_DATA, cte=-0.02,
+                 ss_strain=(0.0, 0.002, 0.1),
+                 ss_stress=(0.0, E * 0.004, E * 0.006)),
+    ]
+    s = rng.integers(1, 3, size=(4, 4, 4)).astype(np.int32)
+    body = build_body(s, palette_from_list(mats),
+                      phase_offset=rng.uniform(-1, 1, size=s.shape))
+    return body, SimParams(init_cm_time=0.0), \
+        EnvParams(temp_amplitude=25.0), {}
+
+
 SCENARIOS = {
     "default": _scenario_default,
     "collision": _scenario_collision,
@@ -109,6 +136,8 @@ SCENARIOS = {
     "fluid_drag": _scenario_fluid,
     "bilinear": _scenario_bilinear,
     "equilibrium_maxvel": _scenario_equilibrium_maxvel,
+    "plasticity": _scenario_plasticity,
+    "mdl_data": _scenario_mdl_data,
 }
 
 
