@@ -11,12 +11,14 @@ bilinear / MDL_DATA point tables via a streamed side-table buffer), bond
 plasticity, volume effects (Poisson coupling + thermal stress + the
 per-step dynamic dt), self-collision (dense pair field, see
 `_pair_contact_forces`), fluid environments with voxel-face drag,
-equilibrium mode, max-velocity clamping, divergence + stop-time freezing
-(reference hot path: VX_Sim.cpp:1763 Integrate → VXS_BondInternal.cpp:56
-CalcLinForce → VXS_Voxel.cpp:169 EulerStep). The remaining combinations
-(ballistic devo, BC regions, deformed-mesh facet drag, env sources,
-trace-window fitness features) use the general jnp stencil in `core.step`
-— `supports()` reports whether a (body, sim, env) config can run here.
+equilibrium mode, max-velocity clamping, boundary-condition regions
+(fixed DOFs / external forces / prescribed displacements via a streamed
+15-channel block), divergence + stop-time freezing (reference hot path:
+VX_Sim.cpp:1763 Integrate → VXS_BondInternal.cpp:56 CalcLinForce →
+VXS_Voxel.cpp:169 EulerStep). The remaining combinations (ballistic devo,
+deformed-mesh facet drag, env sources, trace-window fitness features) use
+the general jnp stencil in `core.step` — `supports()` reports whether a
+(body, sim, env) config can run here.
 
 Why a kernel at all: the jnp scan streams ~50 state floats per voxel through
 HBM **every step**. This kernel keeps the whole simulation state VMEM-resident
@@ -682,6 +684,7 @@ def _make_kernel(
         body_ref = refs.pop(0)
         col_ref = refs.pop(0) if flags.get("collision") else None
         ss_ref = refs.pop(0) if flags.get("mdl_data") else None
+        bc_ref = refs.pop(0) if flags.get("bc") else None
         stats_in = refs.pop(0)
         ctrl_ref = refs.pop(0) if n_knots else None
         state_out, stats_out = refs
@@ -784,6 +787,40 @@ def _make_kernel(
             )
         else:
             ss_ctx = None
+
+        if bc_ref is not None:
+            def bc_at(k):
+                return (bc_ref[0, k, :][None] if bc_ref.shape[0] == 1
+                        else bc_ref[:, k, :])
+
+            dof_fix = [bc_at(k) > 0.5 for k in range(6)]  # X,Y,Z,TX,TY,TZ
+            ext_f = [bc_at(6 + c) for c in range(3)]
+            ext_d = [bc_at(9 + c) for c in range(3)]
+            ext_td = [bc_at(12 + c) for c in range(3)]
+            rot_fixed = dof_fix[3] & dof_fix[4] & dof_fix[5]
+            # nominal lattice positions from the lane index (x-major flat
+            # id = x·Y·Z + y·Z + z; centers at (i+0.5)·L like build_body)
+            # Mosaic has no f32 iota — generate i32 lanes and convert
+            vflat = jax.lax.broadcasted_iota(
+                jnp.int32, (1, Vp), dimension=1
+            ).astype(f32)
+            vx = jnp.floor(vflat / (Y * Z))
+            rem = vflat - vx * (Y * Z)
+            vy = jnp.floor(rem / Z)
+            vz = rem - vy * Z
+            nom_pos_bc = [(vx + 0.5) * L, (vy + 0.5) * L, (vz + 0.5) * L]
+            # prescribed orientation for all-rotation-fixed voxels
+            # (core.quaternion.quat_from_rotation_vector semantics)
+            a2 = ext_td[0] * ext_td[0] + ext_td[1] * ext_td[1] \
+                + ext_td[2] * ext_td[2]
+            nzr = a2 > 0
+            ang_r = jnp.sqrt(jnp.where(nzr, a2, 1.0))
+            half_r = 0.5 * ang_r
+            s_r = jnp.where(nzr, jnp.sin(half_r) / ang_r, 0.5)
+            w_r = jnp.where(nzr, jnp.cos(half_r), 1.0)
+            quat_fix = (w_r,) + tuple(t * s_r for t in ext_td)
+        else:
+            dof_fix = None
 
         vol = vol_outer = bool(flags.get("volume"))
         if vol:
@@ -909,11 +946,30 @@ def _make_kernel(
                 sp = [bonds[a]["sv"] for a in range(3)]
                 sn = [_roll_from_nbr(bonds[a]["sv"], strides[a])
                       for a in range(3)]
-                T3 = [pd[a] & nd[a] for a in range(3)]
-                axs = [
-                    jnp.where(T3[a], 0.5 * (sp[a] + sn[a]), 0.0)
-                    for a in range(3)
-                ]
+                if bc_ref is not None:
+                    # constrained axes count as "bonded both sides"
+                    # (core.step._volume_effects_coupling:156-165)
+                    T3 = [
+                        (pd[a] & nd[a])
+                        | ((pd[a] | nd[a])
+                           & (dof_fix[a] | (ext_f[a] != 0)))
+                        for a in range(3)
+                    ]
+                    axs = []
+                    for a in range(3):
+                        both = pd[a] & nd[a]
+                        s_ax = jnp.where(
+                            both, 0.5 * (sp[a] + sn[a]),
+                            jnp.where(pd[a], sp[a],
+                                      jnp.where(nd[a], sn[a], 0.0)),
+                        )
+                        axs.append(jnp.where(T3[a], s_ax, 0.0))
+                else:
+                    T3 = [pd[a] & nd[a] for a in range(3)]
+                    axs = [
+                        jnp.where(T3[a], 0.5 * (sp[a] + sn[a]), 0.0)
+                        for a in range(3)
+                    ]
 
                 def pw(s):
                     # pow(1+ε, −μ) − 1 via exp/log (vector-exponent pow)
@@ -997,6 +1053,10 @@ def _make_kernel(
             if flags["gravity"]:
                 tf[2] = tf[2] + mass * grav
 
+            if bc_ref is not None:
+                for c in range(3):
+                    tf[c] = tf[c] + ext_f[c]
+
             if flags.get("fluid"):
                 # voxel-face quadratic drag on exposed forward-facing faces
                 # (core.step._fluid_drag; reference: land_water
@@ -1079,6 +1139,16 @@ def _make_kernel(
                 pos = tuple(
                     p + l * (dt * mass_inv) for p, l in zip(pos, lin)
                 )
+            if bc_ref is not None:
+                # pin fixed translational DOFs (VXS_Voxel.cpp:195-197)
+                pos = tuple(
+                    jnp.where(dof_fix[c], nom_pos_bc[c] + ext_d[c], p)
+                    for c, p in enumerate(pos)
+                )
+                lin = [
+                    jnp.where(dof_fix[c], 0.0, l)
+                    for c, l in enumerate(lin)
+                ]
 
             # ---- moments + angular integration (VXS_Voxel.cpp:653-675,
             # 202-215) ----
@@ -1091,6 +1161,11 @@ def _make_kernel(
                         - _roll_from_nbr(bonds[d]["m2"][c], strides[d])
                     )
             tm = [jnp.where(occ, m, 0.0) for m in tm]
+            if bc_ref is not None:
+                tm = [
+                    jnp.where(dof_fix[3 + c], 0.0, m)
+                    for c, m in enumerate(tm)
+                ]
             if vol:
                 # fixed angular damping under volume effects (reference
                 # VXS_Voxel.cpp:204; core.step.py:911-912)
@@ -1108,6 +1183,16 @@ def _make_kernel(
                 0.5 * s for s in _qmul((jnp.zeros_like(av[0]),) + av, quat)
             )
             quat = _qnorm_fast(tuple(q + s * dt for q, s in zip(quat, spin)))
+            if bc_ref is not None:
+                # all-rotation-fixed voxels hold the prescribed orientation
+                # (VXS_Voxel.cpp:218-221)
+                quat = tuple(
+                    jnp.where(rot_fixed, qf, q)
+                    for qf, q in zip(quat_fix, quat)
+                )
+                ang = tuple(
+                    jnp.where(rot_fixed, 0.0, a) for a in ang
+                )
 
             if flags.get("equilibrium"):
                 # equilibrium mode: the KineticEDecreasing test reads the
@@ -1508,6 +1593,20 @@ def pack_ss_tables(body, Vp: int, dtype=jnp.float32):
     return jnp.stack(chans, axis=0)[None]
 
 
+def pack_bc_tables(body, Vp: int, dtype=jnp.float32):
+    """Boundary-condition region channels -> (15, Vp) optional block:
+    6 DOF-fixed bits, external force xyz, prescribed displacement xyz,
+    prescribed angular displacement xyz (reference regions:
+    VX_FRegion.h DOF masks; applied in VXS_Voxel EulerStep)."""
+    f = lambda a: _flat(a, Vp).astype(dtype)  # noqa: E731
+    dof = jnp.asarray(body.dof_fixed)
+    chans = [f(((dof >> k) & 1).astype(dtype)) for k in range(6)]
+    chans += [f(body.external_force[..., c]) for c in range(3)]
+    chans += [f(body.external_disp[..., c]) for c in range(3)]
+    chans += [f(body.external_tdisp[..., c]) for c in range(3)]
+    return jnp.stack(chans, axis=0)[None]
+
+
 def make_stats(
     body: VoxelBody, batch: int, dt, sim: SimParams, env: EnvParams,
     stop_time=None, dtype=jnp.float32
@@ -1596,6 +1695,15 @@ def stats_to_outputs(stats) -> FastRolloutStats:
 # ---------------------------------------------------------------------------
 
 
+def _body_has_bcs(body: VoxelBody) -> bool:
+    return bool(
+        np.any(np.asarray(body.dof_fixed) != 0)
+        or np.any(np.asarray(body.external_force) != 0.0)
+        or np.any(np.asarray(body.external_disp) != 0.0)
+        or np.any(np.asarray(body.external_tdisp) != 0.0)
+    )
+
+
 def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
     """True when (body, sim, env) is inside the fused kernel's envelope."""
     V = int(np.prod(body.occ.shape))
@@ -1614,8 +1722,6 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
         and not env.falling_prohibited
         and not env.norm_dist_by_vol
         and env.num_trace_steps_in_window == 0
-        and bool(np.all(np.asarray(body.dof_fixed) == 0))
-        and bool(np.all(np.asarray(body.external_force) == 0.0))
     )
 
 
@@ -1633,6 +1739,7 @@ def _fused_call(
     control_packed,
     collision_packed=None,
     ss_packed=None,
+    bc_packed=None,
     *,
     num_steps: int,
     grid_shape,
@@ -1689,6 +1796,15 @@ def _fused_call(
         )
         in_specs.append(ss_spec)
         inputs.append(ss_packed)
+    if dict(flags).get("bc"):
+        shared_bc = bc_packed.shape[0] == 1
+        bc_spec = pl.BlockSpec(
+            (1 if shared_bc else b, 15, Vp),
+            (lambda i: (0, 0, 0)) if shared_bc else (lambda i: (i, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs.append(bc_spec)
+        inputs.append(bc_packed)
     in_specs.append(stats_spec)
     inputs.append(stats)
     if n_knots:
@@ -1780,6 +1896,9 @@ def fused_rollout(
     ss_packed = None
     if body.ss_strain_vox is not None:
         ss_packed = pack_ss_tables(body, Vp, dtype)
+    bc_packed = None
+    if _body_has_bcs(body):
+        bc_packed = pack_bc_tables(body, Vp, dtype)
     if stats is None:
         stats = make_stats(body, B, dt, sim, env, stop_time, dtype)
 
@@ -1817,6 +1936,7 @@ def fused_rollout(
         nonlinear=not bool(body.all_linear),
         plasticity=bool(sim.plasticity_enabled),
         mdl_data=ss_packed is not None,
+        bc=bc_packed is not None,
         collision=collision_packed is not None,
         use_init_size=bool(body.using_initial_voxel_size),
         use_final_size=bool(body.using_final_voxel_size),
@@ -1835,6 +1955,7 @@ def fused_rollout(
         control_packed,
         collision_packed,
         ss_packed,
+        bc_packed,
         num_steps=num_steps,
         grid_shape=(X, Y, Z),
         batch_block=batch_block,
@@ -1930,6 +2051,9 @@ class FusedBatchRunner:
         self.ss_packed = None
         if body.ss_strain_vox is not None:
             self.ss_packed = pack_ss_tables(body, self.Vp, jnp.float32)
+        self.bc_packed = None
+        if _body_has_bcs(body):
+            self.bc_packed = pack_bc_tables(body, self.Vp, jnp.float32)
         self.stats = make_stats(body, batch, dt, sim, env, stop_time)
         self._call_kwargs = dict(
             num_steps=num_steps,
@@ -1964,6 +2088,7 @@ class FusedBatchRunner:
                 nonlinear=not bool(body.all_linear),
                 plasticity=bool(sim.plasticity_enabled),
                 mdl_data=self.ss_packed is not None,
+                bc=self.bc_packed is not None,
                 collision=self.collision_packed is not None,
                 use_init_size=bool(body.using_initial_voxel_size),
                 use_final_size=bool(body.using_final_voxel_size),
@@ -1980,7 +2105,7 @@ class FusedBatchRunner:
         ctrl_packed = self._flat_jit(controls.astype(jnp.float32), self.Vp)
         out_state, out_stats = _fused_call(
             self.state_packed, self.body_packed, self.stats, ctrl_packed,
-            self.collision_packed, self.ss_packed,
+            self.collision_packed, self.ss_packed, self.bc_packed,
             **self._call_kwargs,
         )
         return packed_metrics(out_state, self.body_packed, out_stats, self.L)

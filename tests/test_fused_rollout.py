@@ -504,6 +504,53 @@ def test_fused_max_velocity_clamp_matches_jnp():
                            atol=1e-10)
 
 
+def test_fused_bc_regions_match_jnp():
+    """Boundary-condition regions in-kernel (streamed 15-channel block):
+    a cantilever with an all-DOF-fixed base layer under gravity plus a tip
+    load must match the jnp step, and the anchored voxels must not move."""
+    from evosoro_tpu.core.types import DOF_ALL
+
+    n = 4
+    structure = np.zeros((n, 2, 2), dtype=np.int32)
+    structure[:] = 1
+    dof = np.zeros((n, 2, 2), dtype=np.int32)
+    dof[0] = DOF_ALL  # clamp the root slice
+    extf = np.zeros((n, 2, 2, 3))
+    extf[-1, :, :, 2] = -0.05  # tip load
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, palette, lattice_dim=0.01,
+                      dof_fixed=dof, external_force=extf)
+    sim = SimParams()
+    env = EnvParams(temp_enabled=False)
+    assert supports(body, sim, env)
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = init_state(body)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    steps = 60
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-5, atol=1e-9
+    )
+    # stiff-oscillation momenta accumulate f32 phase noise (~1e-8/step
+    # measured on 0.02-scale momenta)
+    np.testing.assert_allclose(
+        np.asarray(out.linmom), np.asarray(ref.linmom), rtol=1e-3, atol=1e-5
+    )
+    # anchored voxels pinned at their nominal positions
+    nomz = np.asarray(body.nom_pos)[0, :, :, 2]
+    np.testing.assert_allclose(np.asarray(out.pos)[0, 0, :, :, 2], nomz,
+                               rtol=0, atol=0)
+    # the tip sagged under gravity + load
+    assert float(np.asarray(out.pos)[0, -1, 0, 0, 2]) < float(
+        np.asarray(body.nom_pos)[-1, 0, 0, 2])
+    assert not bool(np.any(np.asarray(stats.diverged)))
+
+
 def test_fused_mdl_data_matches_jnp():
     """MDL_DATA point-table materials in-kernel (streamed side-table
     buffer + the same vectorized segment search as core.step): actuation

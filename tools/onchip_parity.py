@@ -129,6 +129,21 @@ def _scenario_mdl_data(rng):
         EnvParams(temp_amplitude=25.0), {}
 
 
+def _scenario_bc(rng):
+    from evosoro_tpu.core.types import DOF_ALL
+
+    n = 4
+    s = np.zeros((n, 2, 2), dtype=np.int32)
+    s[:] = 1
+    dof = np.zeros((n, 2, 2), dtype=np.int32)
+    dof[0] = DOF_ALL
+    extf = np.zeros((n, 2, 2, 3))
+    extf[-1, :, :, 2] = -0.05
+    body = build_body(s, palette_from_list(evosoro_default_palette()),
+                      lattice_dim=0.01, dof_fixed=dof, external_force=extf)
+    return body, SimParams(), EnvParams(temp_enabled=False), {}
+
+
 SCENARIOS = {
     "default": _scenario_default,
     "collision": _scenario_collision,
@@ -138,6 +153,7 @@ SCENARIOS = {
     "equilibrium_maxvel": _scenario_equilibrium_maxvel,
     "plasticity": _scenario_plasticity,
     "mdl_data": _scenario_mdl_data,
+    "bc_regions": _scenario_bc,
 }
 
 
