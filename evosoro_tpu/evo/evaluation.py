@@ -155,6 +155,8 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         float(sim_params.col_damping_z),
         float(sim_params.max_vox_vel_limit),
         int(np.asarray(palette.mat_model).max()),
+        None if env_flags_src.sources is None else tuple(
+            map(tuple, np.asarray(env_flags_src.sources.base_pos))),
     )
     key = ("fused", grid_shape, num_steps, tuple(sorted(field_names)),
            float(lattice_dim), interpret, with_collision, feature_key)
@@ -188,6 +190,7 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         freeze_middle=0.5 * (float(sim_params.stop_condition_value)
                              - float(sim_params.init_cm_time)),
         max_vel_limit=float(sim_params.max_vox_vel_limit),
+        sources=fr._source_statics(env_flags_src),
     )
     flags = dict(
         gravity=bool(env_flags_src.gravity_enabled

@@ -15,10 +15,11 @@ equilibrium mode, max-velocity clamping, boundary-condition regions
 (fixed DOFs / external forces / prescribed displacements via a streamed
 15-channel block), divergence + stop-time freezing (reference hot path:
 VX_Sim.cpp:1763 Integrate → VXS_BondInternal.cpp:56 CalcLinForce →
-VXS_Voxel.cpp:169 EulerStep). The remaining combinations (ballistic devo,
-deformed-mesh facet drag, env sources, trace-window fitness features) use
-the general jnp stencil in `core.step` — `supports()` reports whether a
-(body, sim, env) config can run here.
+VXS_Voxel.cpp:169 EulerStep), environmental-source tracking (oscillating
+positions + per-source min-distance/history means). The remaining
+combinations (ballistic devo, deformed-mesh facet drag, trace-window
+fitness features) use the general jnp stencil in `core.step` —
+`supports()` reports whether a (body, sim, env) config can run here.
 
 Why a kernel at all: the jnp scan streams ~50 state floats per voxel through
 HBM **every step**. This kernel keeps the whole simulation state VMEM-resident
@@ -156,6 +157,7 @@ _S_MINTF = 13  # min_temp_fact (scale lower bound / nominal)
 _S_GAMP = 14  # growth amplitude (scale upper bound - 1)
 _S_DRAGC = 15  # aggregate drag coefficient (fluid environments)
 _S_KE = 16  # 16..21: kinetic-energy history ring (equilibrium mode)
+_S_SRC = 22  # 22..24 per-source min dist, 25..27 history sums, 28 count
 C_STAT = 32
 
 
@@ -822,6 +824,16 @@ def _make_kernel(
         else:
             dof_fix = None
 
+        src_params = sc.get("sources", ())
+        n_src = len(src_params)
+        if n_src:
+            srcmin0 = tuple(stat(_S_SRC + k) for k in range(n_src))
+            srcsum0 = tuple(stat(_S_SRC + 3 + k) for k in range(n_src))
+            srccnt0 = stat(_S_SRC + 6)
+        else:
+            srcmin0 = srcsum0 = ()
+            srccnt0 = ()
+
         vol = vol_outer = bool(flags.get("volume"))
         if vol:
             e_mod_v = body_at(_B_EMOD)
@@ -838,7 +850,7 @@ def _make_kernel(
         def step(i, carry):
             (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
              t, div_f, ini, capt_f, tsavg, csavg, ke_hist, dt_carry,
-             soff) = carry
+             soff, src_min, src_sum, src_cnt) = carry
             small = tuple(sf > 0.5 for sf in small_f)
             div = div_f > 0.5
             capt = capt_f > 0.5
@@ -846,6 +858,37 @@ def _make_kernel(
             # volume effects dt is recomputed after the bond pass
             # (VX_Sim.cpp:1792-1795), otherwise it is constant
             dt_p = dt_carry[0] if vol else dt0
+
+            if n_src:
+                # environmental source tracking from the previous step's
+                # positions (reference: VX_Sim.cpp:1060 + 2527-2558;
+                # core/rollout.py:332-345). Oscillation clock runs from
+                # actuation onset; distances in lattice units.
+                tau = jnp.maximum(t - init_cm, 0.0)  # (b,1)
+                new_min = []
+                for (bx, by, bz, ax, ay, az, fx, fy, fz) in src_params:
+                    # Vec3D's π truncation (envs/sources.REF_PI_VEC3D)
+                    two_pi = 2.0 * 3.14159265358979
+                    sxp = bx + ax * jnp.sin(two_pi * fx * tau)
+                    syp = by + ay * jnp.sin(two_pi * fy * tau)
+                    szp = bz + az * jnp.sin(two_pi * fz * tau)
+                    d2 = (
+                        (pos[0] - sxp) ** 2
+                        + (pos[1] - syp) ** 2
+                        + (pos[2] - szp) ** 2
+                    )
+                    d2 = jnp.where(occ, d2, jnp.asarray(3.4e38, f32))
+                    dmin = jnp.sqrt(
+                        jnp.min(d2, axis=1, keepdims=True)
+                    ) / L
+                    new_min.append(dmin)
+                src_min = tuple(new_min)
+                hist = (i % 50) == 0  # UPDATE_SOURCES_HIST_EVERY
+                histf = jnp.where(hist, 1.0, 0.0)
+                src_sum = tuple(
+                    s + histf * m for s, m in zip(src_sum, src_min)
+                )
+                src_cnt = src_cnt + histf
 
             # ---- rollout bookkeeping at the top of the step (reference:
             # VX_Sim.cpp:1064-1075 — IniCM capture from the previous step's
@@ -1359,16 +1402,20 @@ def _make_kernel(
                     jnp.where(frozen, o, bonds[d]["soff"])
                     for d, o in enumerate(carry[18])
                 ) if plasticity else ()),
+                src_min,
+                src_sum,
+                src_cnt,
             )
             return carry_new
 
         carry = (pos0, quat0, lin0, ang0, scale0, small0, lp20, la10, la20,
                  maxs0, t0, div0, ini0, capt0, tsavg0, csavg0, ke0,
-                 (dt0,) if vol_outer else (), soff0)
+                 (dt0,) if vol_outer else (), soff0,
+                 srcmin0, srcsum0, srccnt0)
         carry = jax.lax.fori_loop(0, num_steps, step, carry)
         (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
          t, div_f, ini, capt_f, tsavg_f, csavg_f, ke_f, dt_f,
-         soff_f) = carry
+         soff_f, srcmin_f, srcsum_f, srccnt_f) = carry
 
         # ---- write back ----
         for c in range(3):
@@ -1406,6 +1453,11 @@ def _make_kernel(
                 stats_out[:, _S_KE + k:_S_KE + k + 1] = ke_f[k]
         if vol_outer:
             stats_out[:, _S_DT:_S_DT + 1] = dt_f[0]
+        if n_src:
+            for k in range(n_src):
+                stats_out[:, _S_SRC + k:_S_SRC + k + 1] = srcmin_f[k]
+                stats_out[:, _S_SRC + 3 + k:_S_SRC + 3 + k + 1] = srcsum_f[k]
+            stats_out[:, _S_SRC + 6:_S_SRC + 7] = srccnt_f
 
     return kernel
 
@@ -1635,6 +1687,8 @@ def make_stats(
         jnp.asarray(env.aggregate_drag_coefficient, dtype))
     # energy-history sentinels (reference ClearHistories, VX_Sim.h:421)
     stats = stats.at[:, _S_KE:_S_KE + 6].set(-1.0)
+    # per-source min-distance sentinels (core/rollout.py src_min init)
+    stats = stats.at[:, _S_SRC:_S_SRC + 3].set(-1.0)
     return stats
 
 
@@ -1646,6 +1700,8 @@ class FastRolloutStats:
     diverged: Any  # (B,) bool
     ini_cm: Any  # (B, 3)
     cm_captured: Any  # (B,) bool
+    source_min_dist: Any = None  # (B, n_src) final min distances
+    source_avg_min_dist: Any = None  # (B, n_src) history means
 
 
 def pack_state_single(state: SimState, Vp: int, dtype=jnp.float32):
@@ -1695,6 +1751,24 @@ def stats_to_outputs(stats) -> FastRolloutStats:
 # ---------------------------------------------------------------------------
 
 
+def _source_statics(env: EnvParams):
+    """Static per-source (base, amp, freq) 9-tuples for the kernel trace
+    (env-source parameters are design-time constants)."""
+    if env.sources is None:
+        return ()
+    s = env.sources
+    bp = np.asarray(s.base_pos, dtype=np.float64)
+    am = np.asarray(s.amp, dtype=np.float64)
+    fq = np.asarray(s.freq, dtype=np.float64)
+    en = np.asarray(s.enabled)
+    out = []
+    for k in range(bp.shape[0]):
+        if not bool(en[k]):
+            continue
+        out.append(tuple(float(v) for v in (*bp[k], *am[k], *fq[k])))
+    return tuple(out)
+
+
 def _body_has_bcs(body: VoxelBody) -> bool:
     return bool(
         np.any(np.asarray(body.dof_fixed) != 0)
@@ -1717,7 +1791,8 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
         # deformed-mesh facet-drag system use the jnp path (envs/drag.py)
         and not (env.fluid_environment and body.mesh_drag is not None)
         and not env.floor_limited
-        and env.sources is None
+        # up to 3 env sources track in-kernel (stats-channel budget)
+        and (env.sources is None or env.sources.num_sources <= 3)
         and not env.needle_in_haystack
         and not env.falling_prohibited
         and not env.norm_dist_by_vol
@@ -1920,6 +1995,7 @@ def fused_rollout(
         freeze_middle=0.5 * (float(sim.stop_condition_value)
                              - float(sim.init_cm_time)),
         max_vel_limit=float(sim.max_vox_vel_limit),
+        sources=_source_statics(env),
     )
     flags = dict(
         gravity=bool(env.gravity_enabled and not env.fluid_environment),
@@ -1967,6 +2043,16 @@ def fused_rollout(
     )
     new_state = _unpack_state_jit(out_state, state, (X, Y, Z))
     outs = stats_to_outputs(out_stats)
+    n_src = len(_source_statics(env))
+    if n_src:
+        mins = out_stats[:, _S_SRC:_S_SRC + n_src]
+        sums = out_stats[:, _S_SRC + 3:_S_SRC + 3 + n_src]
+        cnt = out_stats[:, _S_SRC + 6:_S_SRC + 7]
+        outs = outs.replace(
+            source_min_dist=mins,
+            source_avg_min_dist=jnp.where(cnt > 0, sums / jnp.where(
+                cnt > 0, cnt, 1.0), -1.0),
+        )
     new_state = new_state.replace(
         time=outs.time.astype(state.time.dtype),
         diverged=outs.diverged,
@@ -2071,6 +2157,7 @@ class FusedBatchRunner:
                 freeze_middle=0.5 * (float(sim.stop_condition_value)
                                      - float(sim.init_cm_time)),
                 max_vel_limit=float(sim.max_vox_vel_limit),
+                sources=_source_statics(env),
             ).items())),
             flags=tuple(sorted(dict(
                 gravity=bool(env.gravity_enabled

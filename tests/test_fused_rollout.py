@@ -504,6 +504,57 @@ def test_fused_max_velocity_clamp_matches_jnp():
                            atol=1e-10)
 
 
+def test_fused_env_sources_match_jnp():
+    """Environmental source tracking in-kernel (oscillating positions +
+    per-source min-distance / history means, reference VX_Sim.cpp:2527-2558)
+    must match the jnp rollout's bookkeeping."""
+    from evosoro_tpu.core.rollout import rollout
+    from evosoro_tpu.envs.sources import make_sources
+
+    rng = np.random.default_rng(5)
+    n = 4
+    structure = rng.integers(1, 5, size=(n, n, n)).astype(np.int32)
+    phase = rng.uniform(-1, 1, size=(n, n, n))
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, palette, phase_offset=phase)
+    sources = make_sources([
+        dict(pos=(0.1, 0.01, 0.01), amp=(0.02, 0.0, 0.0),
+             freq=(3.0, 0.0, 0.0), enabled=True),
+        dict(pos=(0.01, 0.2, 0.05), enabled=True),
+    ])
+    sim = SimParams(init_cm_time=0.0)
+    env = EnvParams(sources=sources, temp_enabled=False)
+    assert supports(body, sim, env)
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = init_state(body)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    steps = 120  # crosses two history samples (every 50 steps)
+
+    def ref_one(s):
+        r = rollout(body, sim, env, num_steps=steps, dt=dt, state=s)
+        return r.source_min_dist, r.source_avg_min_dist, r.final_state.pos
+
+    ref_min, ref_avg, ref_pos = jax.jit(jax.vmap(ref_one))(batched)
+
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    assert stats.source_min_dist is not None
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref_pos), rtol=2e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats.source_min_dist), np.asarray(ref_min),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats.source_avg_min_dist), np.asarray(ref_avg),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_fused_bc_regions_match_jnp():
     """Boundary-condition regions in-kernel (streamed 15-channel block):
     a cantilever with an all-DOF-fixed base layer under gravity plus a tip
