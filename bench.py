@@ -83,12 +83,17 @@ def main():
     out = run(batched)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        out = run(batched)
-    jax.block_until_ready(out)
-    elapsed = (time.perf_counter() - t0) / reps
+    # best of several timing groups: the axon RPC tunnel adds jittery
+    # per-launch latency (~±6% observed) that a locally-attached chip
+    # doesn't have
+    elapsed = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = run(batched)
+        jax.block_until_ready(out)
+        elapsed = min(elapsed, (time.perf_counter() - t0) / reps)
 
     n_occupied = int(np.sum(np.asarray(structure) > 0))
     voxel_steps = BATCH * n_occupied * STEPS
