@@ -63,6 +63,20 @@ _OBJECTIVE_TAG_TO_RESULT = {
 _compiled_cache: dict = {}
 
 
+def _palette_digest(palette):
+    """Stable identity for a palette baked into a cached trace: hash of the
+    per-material scalar arrays' bytes (two palettes differing only in e.g.
+    elastic_mod must not share a compiled evaluator)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for leaf in jax.tree_util.tree_leaves(palette):
+        arr = np.asarray(leaf)
+        h.update(arr.shape.__repr__().encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()
+
+
 def _phenotype_fields(ind, env):
     """Extract build_body kwargs + env overrides from an individual's
     phenotype mapping (mirrors write_voxelyze_file's tag dispatch,
@@ -154,10 +168,17 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         float(sim_params.bond_damping_z),
         float(sim_params.col_damping_z),
         float(sim_params.max_vox_vel_limit),
+        bool(sim_params.plasticity_enabled),
         int(np.asarray(palette.mat_model).max()),
-        None if env_flags_src.sources is None else tuple(
-            map(tuple, np.asarray(env_flags_src.sources.base_pos))),
+        _palette_digest(palette),
     )
+    from evosoro_tpu.ops import fused_rollout as _fr_key  # noqa: F401
+    import sys as _sys
+    # sources bake (base, amp, freq, enabled) into the kernel closure via
+    # _source_statics — the full tuple must key the cache, not just base_pos
+    feature_key = feature_key + (
+        _sys.modules["evosoro_tpu.ops.fused_rollout"]._source_statics(
+            env_flags_src),)
     key = ("fused", grid_shape, num_steps, tuple(sorted(field_names)),
            float(lattice_dim), interpret, with_collision, feature_key)
     if key in _compiled_cache:
@@ -289,7 +310,8 @@ def make_batched_evaluator(palette, grid_shape, num_steps, field_names,
     `CollisionSystem` (surface-padded to a common S) as a 6th argument.
     """
     key = (grid_shape, num_steps, tuple(sorted(field_names)),
-           tuple(sorted(env_fields)), with_collision)
+           tuple(sorted(env_fields)), with_collision,
+           _palette_digest(palette))
     if key in _compiled_cache:
         return _compiled_cache[key]
 
@@ -317,6 +339,7 @@ def make_batched_evaluator(palette, grid_shape, num_steps, field_names,
             diverged=res.diverged,
             final_cm=res.final_cm,
             ini_cm=res.ini_cm,
+            final_time=res.final_state.time,
         )
 
     if with_collision:
@@ -555,11 +578,6 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
 
     extra_args = ()
     if use_fused:
-        fn = make_fused_evaluator(
-            palette, tuple(grid), num_steps, tuple(field_names), L,
-            sim_params, all_env[0], interpret=not on_tpu,
-            with_collision=with_collision,
-        )
         if with_collision:
             from evosoro_tpu.ops.fused_rollout import pack_collision
 
@@ -569,10 +587,6 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
                 for cs in collision_systems
             ]),)
     else:
-        fn = make_batched_evaluator(
-            palette, tuple(grid), num_steps, tuple(field_names), ("all",),
-            with_collision=with_collision,
-        )
         if with_collision:
             from evosoro_tpu.core.collision import pad_collision_system
 
@@ -585,15 +599,46 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
                 *[pad_collision_system(cs, s_max)
                   for cs in collision_systems],
             ),)
-    results = fn(
-        jnp.asarray(structures),
-        {k: jnp.asarray(v) for k, v in voxel_fields.items()},
-        sim_params,
-        env_batch,
-        stop_time,
-        *extra_args,
-    )
-    results = jax.tree_util.tree_map(np.asarray, results)
+
+    def _run(n_steps):
+        if use_fused:
+            fn = make_fused_evaluator(
+                palette, tuple(grid), n_steps, tuple(field_names), L,
+                sim_params, all_env[0], interpret=not on_tpu,
+                with_collision=with_collision,
+            )
+        else:
+            fn = make_batched_evaluator(
+                palette, tuple(grid), n_steps, tuple(field_names), ("all",),
+                with_collision=with_collision,
+            )
+        out = fn(
+            jnp.asarray(structures),
+            {k: jnp.asarray(v) for k, v in voxel_fields.items()},
+            sim_params,
+            env_batch,
+            stop_time,
+            *extra_args,
+        )
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    results = _run(num_steps)
+    if vol_on:
+        # the in-step recomputed dt shrinks under compression; the 15% static
+        # scan pad is a heuristic, so verify every live rollout actually
+        # reached the stop time and widen the scan if not (the reference
+        # loops until the stop condition is met, VX_Sim.cpp main loop)
+        for _retry in range(2):
+            short = (~results["diverged"][:B]) & (
+                results["final_time"][:B] < stop_time * 0.999)
+            if not short.any():
+                break
+            num_steps = int(np.ceil(num_steps * 1.5))
+            print_log.message(
+                "{} rollouts truncated before stop time under dynamic dt; "
+                "re-dispatching with scan length {}".format(
+                    int(short.sum()), num_steps))
+            results = _run(num_steps)
 
     # objective assignment (reference: evaluation.py:160-177)
     for i, ind in enumerate(inds):

@@ -1734,6 +1734,7 @@ def packed_metrics(out_state, body_packed, out_stats, L):
         diverged=diverged,
         final_cm=final_cm,
         ini_cm=ini_cm,
+        final_time=out_stats[:, _S_TIME],
     )
 
 

@@ -90,7 +90,11 @@ def _aligned_error(ref_trace, our_rows, dt):
         i = int(np.argmin(np.abs(our_rows[:, 0] - row[0])))
         if abs(our_rows[i, 0] - row[0]) < 0.25 * dt:
             errs.append(np.abs(row[1:] - our_rows[i, 1:]).max())
-    assert errs
+    # a systematic time-base divergence (e.g. a wrong dynamic-dt sequence)
+    # must fail loudly, not silently shrink the compared set
+    assert len(errs) >= 0.5 * len(ref_trace), (
+        f"only {len(errs)}/{len(ref_trace)} reference trace rows matched a "
+        f"sim step within 0.25*dt — time bases have diverged")
     return np.array(errs)
 
 
