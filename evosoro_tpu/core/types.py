@@ -171,6 +171,22 @@ class Material:
     # CVXC_Material::ValidateSSData (VX_Object.cpp:1545-1605).
     ss_strain: tuple = ()
     ss_stress: tuple = ()
+    # compound-material resolution (reference: VX_Object.h:519 `enum MatMode
+    # {SINGLE, INTERNAL, EXTERNAL, DITHER}`; GetLeafMatIndex
+    # VX_Object.cpp:722 resolves each voxel's structure id to its leaf
+    # SINGLE material at import, VX_Sim.cpp:534). DITHER picks
+    # rand_index1/rand_index2 per voxel via the prsm spatial hash; INTERNAL
+    # tiles a sub-structure over the workspace with offset + rotation.
+    mat_type: int = 0  # SINGLE
+    rand_index1: int = 0
+    rand_index2: int = 0
+    perc_index1: float = 0.5
+    sub_structure: Any = None  # (Xs, Ys, Zs) int array for INTERNAL
+    sub_offset: tuple = (0, 0, 0)
+    sub_rotate_axis: int = 0  # RAX_X
+    sub_rotate_amount: int = 0  # RAM_0
+
+MAT_SINGLE, MAT_INTERNAL, MAT_EXTERNAL, MAT_DITHER = 0, 1, 2, 3
 
 
 def validate_ss_data(mat: "Material") -> "Material":

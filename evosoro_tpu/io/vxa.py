@@ -334,9 +334,50 @@ def _parse_material(mat_el) -> Material:
             ss_stress = tuple(
                 float(e.text) for e in stress_el.findall("Stress")[:n_pts]
             )
+    # compound-material type: explicit <MatType>, else the reference's
+    # "detective work" fallback (VX_Object.cpp:1350-1355 ReadXML)
+    mat_type = _text(mat_el, "MatType", None, cast=int)
+    if mat_type is None:
+        if mat_el.find("Structure") is not None:
+            mat_type = 1  # INTERNAL
+        elif mat_el.find("RandIndex1") is not None:
+            mat_type = 3  # DITHER
+        else:
+            mat_type = 0  # SINGLE
+    sub_structure = None
+    sub_offset = (0, 0, 0)
+    sub_rax = 0
+    sub_ram = 0
+    if mat_type == 1:
+        sub_el = mat_el.find("Structure")
+        if sub_el is not None:
+            sx = _text(sub_el, "X_Voxels", 1, cast=int)
+            sy = _text(sub_el, "Y_Voxels", 1, cast=int)
+            sz = _text(sub_el, "Z_Voxels", 1, cast=int)
+            sub_structure = _parse_layers_int(
+                sub_el, "Data", (sx, sy, sz),
+                sub_el.get("Compression", "ASCII_READABLE"))
+        sub_offset = (
+            _text(mat_el, "X_Offset", 0, cast=int),
+            _text(mat_el, "Y_Offset", 0, cast=int),
+            _text(mat_el, "Z_Offset", 0, cast=int),
+        )
+        sub_rax = _text(mat_el, "StructRotateAxis", 0, cast=int)
+        sub_ram = _text(mat_el, "StructRotateAmount", 0, cast=int)
     return Material(
         id=int(mat_el.get("ID", "0")),
         name=_text(mat_el, "Name", "", cast=str),
+        mat_type=mat_type,
+        rand_index1=_text(mat_el, "RandIndex1", 0, cast=int),
+        rand_index2=_text(mat_el, "RandIndex2", 0, cast=int),
+        # the ReadXML default for a DITHER material missing PercIndex1 is 0
+        # (VX_Object.cpp:1432), not the constructor's 0.5
+        perc_index1=_text(mat_el, "PercIndex1",
+                          0.0 if mat_type == 3 else 0.5),
+        sub_structure=sub_structure,
+        sub_offset=sub_offset,
+        sub_rotate_axis=sub_rax,
+        sub_rotate_amount=sub_ram,
         mat_model=_text(mech, "MatModel", 0, cast=int),
         ss_strain=ss_strain,
         ss_stress=ss_stress,
@@ -354,6 +395,114 @@ def _parse_material(mat_el) -> Material:
         mat_temp_phase=_text(mat_el, "TempPhase", 0.0),
         rgba=rgba,
     )
+
+
+def _prsm(x, y, z, k) -> float:
+    """Pseudo-Random Spatial Map: combined Tausworthe-88 generator seeded by
+    the float32 bit patterns of the coordinates (reference:
+    VX_Object.cpp:2588-2636 rand_seed/taus_get/prsm). Bit-exact replication
+    so a dithered VXA imports to the same per-voxel materials as the
+    reference engine. Values stay below 2**32, so Python ints with explicit
+    masks are exact."""
+    import struct as _struct
+
+    M32 = 0xFFFFFFFF
+
+    def seed(v):
+        return (1664525 * v + 1013904223) & 0x7FFFFFFF
+
+    def taus(s1, s2, s3):
+        b = (((s1 << 13) & M32) ^ s1) >> 19
+        s1 = (((s1 & 0xFFFFFFFE) << 12) & M32) ^ b
+        b = (((s2 << 2) & M32) ^ s2) >> 25
+        s2 = (((s2 & 0xFFFFFFF8) << 4) & M32) ^ b
+        b = (((s3 << 3) & M32) ^ s3) >> 11
+        s3 = (((s3 & 0xFFFFFFF0) << 17) & M32) ^ b
+        return s1, s2, s3
+
+    ts1, ts2, ts3 = (
+        int.from_bytes(_struct.pack("<f", float(v)), "little")
+        for v in (x, y, z)
+    )
+    s1, s2, s3 = seed(ts1), seed(ts2), seed(ts3)
+    for _ in range(2):
+        s1 = seed(s1 ^ s3)
+        s2 = seed(s2 ^ s1)
+        s3 = seed(s3 ^ s2)
+    for _ in range(int(k) + 10):
+        s1, s2, s3 = taus(s1, s2, s3)
+    return (s1 ^ s2 ^ s3) / 4294967295.0
+
+
+def resolve_leaf_material_ids(structure, materials):
+    """Resolve each voxel's structure id to its leaf SINGLE material id,
+    replicating CVX_Object::GetLeafMatIndex (reference: VX_Object.cpp:722-735
+    + GetSubMatIndex 815-872) as applied at sim import (VX_Sim.cpp:534).
+
+    INTERNAL materials tile their sub-structure over rotated/offset nominal
+    coordinates; DITHER materials pick rand_index1 with probability
+    perc_index1 via the prsm spatial hash, else rand_index2. Chains resolve
+    up to 100 deep (the reference's infinite-recursion guard), then 0."""
+    by_id = {m.id: m for m in materials}
+    if not any(m.mat_type != 0 for m in materials):
+        return structure
+    out = np.array(structure, dtype=np.int32, copy=True)
+    for idx in np.argwhere(structure > 0):
+        x, y, z = (int(v) for v in idx)
+        last = int(structure[x, y, z])
+        for _ in range(100):
+            m = by_id.get(last)
+            if m is None or last <= 0:
+                last = 0
+                break
+            if m.mat_type == 0:  # SINGLE
+                break
+            if m.mat_type == 3:  # DITHER
+                r = _prsm(x, y, z, m.rand_index1 + m.rand_index2)
+                nxt = m.rand_index1 if r < m.perc_index1 else m.rand_index2
+            elif m.mat_type == 1 and m.sub_structure is not None:  # INTERNAL
+                # rotation about the axis, then offset, then tile (mod)
+                rx, ry, rz = x, y, z
+                ax, am = m.sub_rotate_axis, m.sub_rotate_amount
+                if am != 0:
+                    if ax == 0:  # RAX_X
+                        if am == 1:
+                            ry, rz = rz, -ry - 1
+                        elif am == 2:
+                            ry, rz = -ry - 1, -rz - 1
+                        else:
+                            ry, rz = -rz - 1, ry
+                    elif ax == 1:  # RAX_Y
+                        if am == 1:
+                            rx, rz = -rz - 1, rx
+                        elif am == 2:
+                            rx, rz = -rx - 1, -rz - 1
+                        else:
+                            rx, rz = rz, -rx - 1
+                    else:  # RAX_Z
+                        if am == 1:
+                            rx, ry = ry, -rx - 1
+                        elif am == 2:
+                            rx, ry = -rx - 1, -ry - 1
+                        else:
+                            rx, ry = -ry - 1, rx
+                sx, sy, sz = m.sub_structure.shape
+                rx = (rx - m.sub_offset[0]) % sx
+                ry = (ry - m.sub_offset[1]) % sy
+                rz = (rz - m.sub_offset[2]) % sz
+                # the transformed coordinates carry into deeper levels
+                # (GetSubMatIndex mutates them by pointer)
+                x, y, z = rx, ry, rz
+                nxt = int(m.sub_structure[rx, ry, rz])
+            else:
+                nxt = last  # malformed INTERNAL defaults to itself
+            if nxt == last:
+                break
+            last = nxt
+        else:
+            last = 0  # >100 hops: treated as infinite recursion
+        out[idx[0], idx[1], idx[2]] = last
+    return out
 
 
 def _parse_regions(env_el) -> list:
@@ -563,6 +712,10 @@ def load_vxa(path) -> VXADocument:
             f"[0, {max_id}]: range "
             f"[{int(structure.min())}, {int(structure.max())}]"
         )
+    # resolve compound (INTERNAL/DITHER) palette entries to leaf SINGLE
+    # materials per voxel, exactly as the sim does at import
+    # (VX_Sim.cpp:534 GetLeafMatIndex); no-op for all-SINGLE palettes
+    structure = resolve_leaf_material_ids(structure, materials)
 
     voxel_arrays = {}
     for tag in VOXEL_ARRAY_TAGS:

@@ -107,6 +107,34 @@ def build_dump(cache_dir: Path | str = DEFAULT_CACHE, fork: str = "base",
     return binary if binary.exists() else None
 
 
+def build_leafmat(cache_dir: Path | str = DEFAULT_CACHE, fork: str = "base",
+                  timeout: int = 300) -> Path | None:
+    """Compile tools/ref_leafmat_main.cpp against the (cached) reference
+    lib: prints per-voxel GetLeafMatIndex resolutions and prsm samples for
+    compound-material (dither/internal) import-parity tests."""
+    cache_dir = Path(cache_dir)
+    binary = cache_dir / fork / "voxelyze_leafmat"
+    if binary.exists():
+        return binary
+    if build_reference(cache_dir, fork=fork, timeout=timeout) is None:
+        return None
+    dest = cache_dir / fork / "src"
+    src_cpp = Path(__file__).parent / "ref_leafmat_main.cpp"
+    try:
+        lib = next((dest / "Voxelyze").glob("libvoxelyze*.a"))
+        libname = lib.stem[3:]
+        subprocess.run(
+            ["g++", "-O3", "-std=c++11", f"-I{dest/'Voxelyze'}",
+             f"-I{dest/'Voxelyze'/'Utils'}", str(src_cpp),
+             f"-L{dest/'Voxelyze'}", f"-l{libname}", "-lm", "-lstdc++", "-lz",
+             "-o", str(binary)],
+            check=True, capture_output=True, timeout=timeout,
+        )
+    except (subprocess.SubprocessError, OSError, StopIteration):
+        return None
+    return binary if binary.exists() else None
+
+
 def run_dump(vxa_path, max_steps: int, binary: Path | None = None,
              fork: str = "base", timeout: float = 600.0):
     """Run the dump driver; returns (times, pos[S,N,3], scale[S,N]) numpy
