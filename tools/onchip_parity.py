@@ -3,11 +3,27 @@
 CI runs the fused kernel only in interpreter mode (CPU); a Mosaic compile
 change could silently shift on-chip numerics between rounds. This driver runs
 BOTH paths on the real TPU for each feature scenario and records the max
-absolute position/momentum deviation to ONCHIP_PARITY.json; the next round
-asserts against it.
+absolute position/momentum deviation to ONCHIP_PARITY.json.
 
-Run:  PYTHONPATH=/root/repo:/root/.axon_site \
-      PALLAS_AXON_REMOTE_COMPILE=1 python tools/onchip_parity.py
+Run:    PYTHONPATH=/root/repo:/root/.axon_site \
+        PALLAS_AXON_REMOTE_COMPILE=1 python tools/onchip_parity.py
+Check:  ... python tools/onchip_parity.py --check
+        re-runs all scenarios and FAILS (exit 1) if any exceeds the
+        committed bound x CHECK_MARGIN, instead of overwriting the artifact.
+
+Why the drift bands differ by scenario (measured r4, /tmp/drift_probe):
+the two paths are algebraically identical but XLA fuses/orders f32 ops
+differently. On the `default` dynamic scenario the trajectories are
+bit-identical through step 2, a one-ulp (4.7e-10 m) difference appears at
+step 4, then amplifies at ~x6/step — the stiff lattice at dt = 0.9x the
+stability limit is chaotic — and saturates near the local oscillation
+amplitude: 8e-7 @ 8 steps, 3.7e-6 @ 16, 3.4e-5 @ 100. Removing floor and
+friction does not change this (no-floor drift is identical, 3.45e-5), so
+it is NOT stick/slip ordering; heavily damped / quasi-static scenarios
+(volume_effects, mdl_data, collision) stay at 1e-9..5e-7 because the
+amplification rate is below 1. The per-scenario committed bound is the
+regression reference; drift growing past bound x margin means a real
+numerics change, not jitter.
 """
 
 from __future__ import annotations
@@ -157,7 +173,14 @@ SCENARIOS = {
 }
 
 
-def main():
+# chaotic-saturation jitter: the saturated drift level itself wiggles with
+# any legal re-fusion, so enforce bound x margin with an absolute floor of
+# one f32 ulp at position scale
+CHECK_MARGIN = 3.0
+CHECK_FLOOR = 1e-8
+
+
+def main(check: bool = False):
     assert jax.devices()[0].platform == "tpu", "run on the real chip"
     out = {"metric": "onchip_fused_vs_jnp", "steps": STEPS, "batch": BATCH,
            "scenarios": {}}
@@ -196,10 +219,30 @@ def main():
         print(name, out["scenarios"][name])
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "ONCHIP_PARITY.json")
+    if check:
+        with open(path) as f:
+            committed = json.load(f)["scenarios"]
+        failures = []
+        for name, rec in out["scenarios"].items():
+            if name not in committed:
+                continue  # new scenario: no bound yet
+            bound = max(committed[name]["max_abs_pos_diff_m"] * CHECK_MARGIN,
+                        CHECK_FLOOR)
+            if rec["max_abs_pos_diff_m"] > bound or rec["diverged"]:
+                failures.append(
+                    f"{name}: {rec['max_abs_pos_diff_m']:.3e} > bound "
+                    f"{bound:.3e} (committed "
+                    f"{committed[name]['max_abs_pos_diff_m']:.3e})")
+        if failures:
+            print("ONCHIP PARITY CHECK FAILED:\n  " + "\n  ".join(failures))
+            raise SystemExit(1)
+        print(f"onchip parity check OK ({len(out['scenarios'])} scenarios "
+              f"within committed bound x {CHECK_MARGIN})")
+        return
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("written", path)
 
 
 if __name__ == "__main__":
-    main()
+    main(check="--check" in sys.argv)
