@@ -92,7 +92,20 @@ def sharded_fused_rollout(
     kernel in `shard_map` — each device runs its own grid over its local
     batch shard (B/n_dev must divide by `batch_block`), and any cross-batch
     fitness reductions downstream ride XLA collectives. Returns
-    (new_state, FastRolloutStats) with batch-sharded leaves."""
+    (new_state, FastRolloutStats) with batch-sharded leaves.
+
+    Known-benign CPU-only warning: with `interpret=True` (the virtual-device
+    dryrun/test path) the kernel is inlined as plain HLO and XLA's algebraic
+    simplifier logs "likely stuck in a circular simplification loop ... on
+    computation main.N_spmd" — it hits its 50-run fixed-point cap
+    ping-ponging on the dynamic-update-slice-of-broadcast output stores the
+    interpreter emits inside the step while-loop (verified r4 by matching
+    the named computation in an --xla_dump_to dump to this module and
+    watching the rewrites under TF_CPP_VMODULE=algebraic_simplifier=2).
+    Compilation still terminates (the cap bounds it) and results are exact.
+    On real TPU meshes the kernel is a Mosaic custom-call that the
+    simplifier treats as opaque, so the pattern cannot arise in production
+    and there is no pod compile-time risk."""
     try:
         from jax import shard_map
     except ImportError:  # jax < 0.7 layout
