@@ -182,6 +182,81 @@ def grad_optimize(
     return u, dict(cost_trace=cs, final_cost=cs[-1])
 
 
+_fused_cem_solver_cache: dict = {}
+
+
+def make_fused_cem_solver(runner, num_knots: int, grid_shape,
+                          config: CEMConfig = CEMConfig()):
+    """Build (and cache) a ONE-device-program CEM solve over the fused
+    Pallas rollout kernel: the whole solver — candidate sampling, the
+    rollout kernel, cost reduction and the elite update — is a `lax.scan`
+    over iterations inside a single jit, so one solve is ONE launch
+    (launches/solve == 1; on a tunnel-attached chip this removes
+    num_iters-1 RPC round trips per solve).
+
+    The packed state/body/stats ride as ARGUMENTS (not closure constants),
+    so the compiled program is reused across bodies of the same shape and
+    feature envelope. Returns `solve(key, packed, mean0, std0) ->
+    (best_u, best_cost, best_trace, mean_trace, mean, std)` plus the
+    traceable body (for composing several solves into one program, e.g.
+    device-time benchmarking via lax.map)."""
+    import sys
+
+    fr = sys.modules["evosoro_tpu.ops.fused_rollout"]
+
+    P = runner.batch
+    n_elite = max(1, int(config.pop_size * config.elite_frac))
+    Vp = runner.Vp
+    L = float(runner.L)
+    shape = (num_knots,) + tuple(grid_shape)
+    call_kwargs = dict(runner._call_kwargs)
+
+    cache_key = (tuple(sorted(
+        (k, v) for k, v in call_kwargs.items())), P, n_elite, config,
+        shape, L)
+    if cache_key in _fused_cem_solver_cache:
+        return _fused_cem_solver_cache[cache_key]
+
+    def solve_body(key, packed, mean0, std0):
+        state_packed, body_packed, stats, coll, ss, bc = packed
+
+        def iteration(carry, _):
+            mean, std, best_u, best_cost, key = carry
+            key, sub = jax.random.split(key)
+            eps = jax.random.normal(sub, (P,) + shape, jnp.float32)
+            us = jnp.clip(mean[None] + std[None] * eps,
+                          -config.u_clip, config.u_clip)
+            ctrl = fr._flat(us, Vp)
+            out_state, out_stats = fr._fused_call(
+                state_packed, body_packed, stats, ctrl, coll, ss, bc,
+                **call_kwargs,
+            )
+            m = fr.packed_metrics(out_state, body_packed, out_stats, L)
+            costs = jnp.where(m["diverged"], 1e9, -m["norm_final_dist"])
+            order = jnp.argsort(costs)[:n_elite]
+            elites = us[order]
+            a = config.smoothing
+            mean = a * jnp.mean(elites, axis=0) + (1 - a) * mean
+            std = a * (jnp.std(elites, axis=0) + config.min_std) + (1 - a) * std
+            it_best = costs[order[0]]
+            better = it_best < best_cost
+            best_u = jnp.where(better, us[order[0]], best_u)
+            best_cost = jnp.minimum(best_cost, it_best)
+            # trace the RUNNING best (monotone), matching cem_optimize
+            return (mean, std, best_u, best_cost, key), (
+                best_cost, jnp.mean(costs))
+
+        init = (mean0, std0, mean0, jnp.asarray(jnp.inf, jnp.float32), key)
+        (mean, std, best_u, best_cost, _), (bt, mt) = jax.lax.scan(
+            iteration, init, None, length=config.num_iters
+        )
+        return best_u, best_cost, bt, mt, mean, std
+
+    solve = jax.jit(solve_body)
+    _fused_cem_solver_cache[cache_key] = (solve, solve_body)
+    return solve, solve_body
+
+
 def cem_optimize_fused(
     key,
     body: VoxelBody,
@@ -195,14 +270,14 @@ def cem_optimize_fused(
     stop_time=None,
     interpret: bool = False,
 ):
-    """CEM over control sequences through the fused Pallas rollout kernel
-    (ops/fused_rollout.FusedBatchRunner): one kernel launch per CEM
-    iteration evaluates the whole candidate population with the rollout
-    state VMEM-resident — the production MPC solve path on TPU.
+    """CEM over control sequences through the fused Pallas rollout kernel:
+    the production MPC solve path on TPU. One solve is ONE device program
+    (`make_fused_cem_solver`) — the CEM loop is a lax.scan whose every
+    iteration invokes the multi-step rollout kernel with the state
+    VMEM-resident, so a solve pays exactly one host->device launch.
 
     Same semantics as `cem_optimize` (which remains the general/differen-
-    tiable-feature path); the CEM update runs on host between launches.
-    """
+    tiable-feature path)."""
     from evosoro_tpu.ops.fused_rollout import FusedBatchRunner
 
     import numpy as np
@@ -214,49 +289,18 @@ def cem_optimize_fused(
     )
     X, Y, Z = body.occ.shape
     shape = (num_knots, X, Y, Z)
-    mean = jnp.zeros(shape, jnp.float32)
-    std = jnp.full(shape, config.init_std, jnp.float32)
-    n_elite = max(1, int(config.pop_size * config.elite_frac))
-    best_u = mean
-    best_cost = jnp.asarray(jnp.inf, jnp.float32)
-    best_trace, mean_trace = [], []
-
-    sample = jax.jit(
-        lambda k, m, s: jnp.clip(
-            m[None] + s[None] * jax.random.normal(k, (P,) + shape, jnp.float32),
-            -config.u_clip, config.u_clip,
-        )
-    )
-
-    @jax.jit
-    def update(us, costs, mean, std, best_u, best_cost):
-        order = jnp.argsort(costs)[:n_elite]
-        elites = us[order]
-        a = config.smoothing
-        mean = a * jnp.mean(elites, axis=0) + (1 - a) * mean
-        std = a * (jnp.std(elites, axis=0) + config.min_std) + (1 - a) * std
-        it_best = costs[order[0]]
-        better = it_best < best_cost
-        best_u = jnp.where(better, us[order[0]], best_u)
-        best_cost = jnp.minimum(best_cost, it_best)
-        return mean, std, best_u, best_cost, it_best, jnp.mean(costs)
-
-    # the whole loop stays on-device; the host only sequences kernel launches
-    for _ in range(config.num_iters):
-        key, sub = jax.random.split(key)
-        us = sample(sub, mean, std)
-        metrics = runner.run(us)
-        costs = jnp.where(metrics["diverged"], 1e9, -metrics["norm_final_dist"])
-        mean, std, best_u, best_cost, it_best, mean_cost = update(
-            us, costs, mean, std, best_u, best_cost
-        )
-        best_trace.append(best_cost)
-        mean_trace.append(mean_cost)
+    solve, _ = make_fused_cem_solver(runner, num_knots, (X, Y, Z), config)
+    mean0 = jnp.zeros(shape, jnp.float32)
+    std0 = jnp.full(shape, config.init_std, jnp.float32)
+    packed = (runner.state_packed, runner.body_packed, runner.stats,
+              runner.collision_packed, runner.ss_packed, runner.bc_packed)
+    best_u, best_cost, best_trace, mean_trace, mean, std = solve(
+        key, packed, mean0, std0)
 
     return best_u, dict(
         best_cost=float(best_cost),
-        best_cost_trace=jnp.stack(best_trace),
-        mean_cost_trace=jnp.stack(mean_trace),
+        best_cost_trace=best_trace,
+        mean_cost_trace=mean_trace,
         final_mean=mean,
         final_std=std,
     )

