@@ -113,7 +113,15 @@ def main():
                  "the reference's lazily-rebuilt candidate list; at evosoro "
                  "scales (S <= ~600) it is dense VPU work. Costs grow O(S^2) "
                  "— spatial culling would only matter beyond ~10^4 surface "
-                 "voxels, far above any reference workload."),
+                 "voxels, far above any reference workload. r4: in-kernel "
+                 "mag switched to the rsqrt form (one transcendental vs "
+                 "sqrt+div) for ~1.3x; AABB-culled 128-lane tile evaluation "
+                 "was prototyped 3 ways and MEASURED SLOWER than dense on "
+                 "this workload (tile ops run at ~half dense's per-element "
+                 "rate, each pl.when + scalar VMEM read costs ~0.5us, and "
+                 "the porous 10^3 body keeps 15/36 tiles hot with ~100 "
+                 "permanent rest contacts) — see _pair_contact_forces "
+                 "docstring for the numbers."),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "COLLBENCH.json")
