@@ -58,9 +58,11 @@ class MeshDragSystem:
         return self.tri_verts.shape[0]
 
 
-def build_mesh_drag(structure, pad_tris: int | None = None) -> MeshDragSystem:
+def build_mesh_drag(structure, pad_tris: int | None = None,
+                    pad_verts: int | None = None) -> MeshDragSystem:
     """Host-side precompute of the surface mesh linkage for one design.
-    `pad_tris` fixes T so heterogeneous designs batch under vmap."""
+    `pad_tris` / `pad_verts` fix T and V so heterogeneous designs batch
+    under vmap (padding rows have tri_mask False / vert_w 0)."""
     structure = np.asarray(structure)
     occ = structure > 0
     X, Y, Z = occ.shape
@@ -93,7 +95,10 @@ def build_mesh_drag(structure, pad_tris: int | None = None) -> MeshDragSystem:
     T = int(pad_tris) if pad_tris is not None else T0
     if T < T0:
         raise ValueError(f"pad_tris={T} < triangle count {T0}")
-    V = len(corners)
+    V0 = len(corners)
+    V = int(pad_verts) if pad_verts is not None else V0
+    if V < V0:
+        raise ValueError(f"pad_verts={V} < vertex count {V0}")
 
     # --- vertex -> adjacent occupied voxels (weight 1 each) ---
     vert_vox = np.zeros((V, 8), dtype=np.int32)

@@ -108,6 +108,7 @@ class Env(VoxCadParams):
         grav_acc=-9.81,
         fluid_environment=0,
         aggregate_drag_coefficient=0.0,
+        drag_model="mesh",
     ):
         super().__init__()
         self.sub_groups = ["Fixed_Regions", "Forced_Regions", "Gravity", "Thermal"]
@@ -128,6 +129,12 @@ class Env(VoxCadParams):
         self.grav_acc = grav_acc
         self.fluid_environment = fluid_environment
         self.aggregate_drag_coefficient = aggregate_drag_coefficient
+        # which fluid-drag model the evaluator simulates under:
+        # "mesh" (default) = the land_water fork's deformed-surface-mesh
+        # facet drag (parity-validated, envs/drag.py); "voxel_face" = the
+        # fused kernel's exposed-face approximation (~10x faster;
+        # DRAGDIV.json quantifies the divergence + fitness-rank agreement)
+        self.drag_model = drag_model
 
     def to_env_params(self) -> EnvParams:
         # ad-hoc add_param() attributes become first-class EnvParams fields

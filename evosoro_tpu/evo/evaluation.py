@@ -301,21 +301,28 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
 
 
 def make_batched_evaluator(palette, grid_shape, num_steps, field_names,
-                           env_fields, with_collision=False):
+                           env_fields, with_collision=False,
+                           with_mesh_drag=False):
     """Build + cache one jitted batched evaluation function.
 
     Keyed on (grid shape, steps, which per-voxel fields vary, which env
-    scalars vary, collision) — everything else is baked into the trace.
-    `with_collision`: the returned fn takes a stacked per-individual
+    scalars vary, collision, mesh drag) — everything else is baked into the
+    trace. `with_collision`: the returned fn takes a stacked per-individual
     `CollisionSystem` (surface-padded to a common S) as a 6th argument.
+    `with_mesh_drag`: the fn takes a stacked per-individual `MeshDragSystem`
+    (tri/vert-padded to common T, V) as the following argument — fluid
+    rollouts then use the parity-validated deformed-mesh facet drag
+    (land_water VX_Sim.cpp:1516-1600) instead of the kernel's voxel-face
+    approximation.
     """
     key = (grid_shape, num_steps, tuple(sorted(field_names)),
-           tuple(sorted(env_fields)), with_collision,
+           tuple(sorted(env_fields)), with_collision, with_mesh_drag,
            _palette_digest(palette))
     if key in _compiled_cache:
         return _compiled_cache[key]
 
-    def eval_one(structure, voxel_fields, sim, env, stop_time, colsys=None):
+    def eval_one(structure, voxel_fields, sim, env, stop_time, colsys=None,
+                 meshdrag=None):
         body = build_body(
             structure,
             palette,
@@ -324,6 +331,8 @@ def make_batched_evaluator(palette, grid_shape, num_steps, field_names,
         )
         if colsys is not None:
             body = body.replace(collision=colsys)
+        if meshdrag is not None:
+            body = body.replace(mesh_drag=meshdrag)
         dt = calc_max_dt(body) * sim.dt_frac
         res = rollout(
             body,
@@ -342,10 +351,22 @@ def make_batched_evaluator(palette, grid_shape, num_steps, field_names,
             final_time=res.final_state.time,
         )
 
+    in_axes = [0, 0, None, 0, None]
     if with_collision:
-        fn = jax.jit(jax.vmap(eval_one, in_axes=(0, 0, None, 0, None, 0)))
-    else:
-        fn = jax.jit(jax.vmap(eval_one, in_axes=(0, 0, None, 0, None)))
+        in_axes.append(0)
+    if with_mesh_drag:
+        if not with_collision:
+            # keep meshdrag in its keyword slot
+            def eval_md(structure, voxel_fields, sim, env, stop_time,
+                        meshdrag):
+                return eval_one(structure, voxel_fields, sim, env,
+                                stop_time, None, meshdrag)
+
+            fn = jax.jit(jax.vmap(eval_md, in_axes=tuple(in_axes + [0])))
+            _compiled_cache[key] = fn
+            return fn
+        in_axes.append(0)
+    fn = jax.jit(jax.vmap(eval_one, in_axes=tuple(in_axes)))
     _compiled_cache[key] = fn
     return fn
 
@@ -548,6 +569,28 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
                 e_vox = np.where((stiff[i] > 0) & (st_i > 0), stiff[i], e_vox)
             collision_systems.append(build_collision_system(st_i, e_vox, L))
 
+    # fluid environments: the PRODUCTION drag model is the parity-validated
+    # deformed-mesh facet drag (land_water VX_Sim.cpp:1516-1600, validated
+    # <1e-7 m/voxel vs a land_water build in test_landwater_parity.py).
+    # `Env(drag_model="voxel_face")` opts into the fused kernel's voxel-face
+    # approximation instead (~10x faster; DRAGDIV.json quantifies the
+    # trajectory divergence and fitness-rank agreement between the two).
+    drag_model = getattr(env, "drag_model", "mesh")
+    use_mesh_drag = bool(all_env[0].fluid_environment) and drag_model == "mesh"
+    mesh_systems = None
+    if use_mesh_drag:
+        from evosoro_tpu.envs.drag import build_mesh_drag
+
+        raw = [build_mesh_drag(structures[i]) for i in range(B)]
+        # bucket padding so drifting mesh sizes don't retrigger compiles
+        t_max = -(-max(m.num_tris for m in raw) // 256) * 256
+        v_max = -(-max(int(m.vert_vox.shape[0]) for m in raw) // 256) * 256
+        mesh_systems = [
+            build_mesh_drag(structures[i], pad_tris=t_max, pad_verts=v_max)
+            for i in range(B)
+        ]
+        mesh_systems += [mesh_systems[0]] * (Bp - B)  # pad rows reuse row 0
+
     # fused-kernel fast path: default on TPU when the experiment is inside
     # the kernel envelope (EVOSORO_TPU_FUSED_EVAL=0 disables, =1 forces it in
     # interpreter mode off-TPU for testing)
@@ -568,6 +611,9 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
     # kernel (fused_rollout/FusedBatchRunner do); route such palettes to
     # the jnp path
     can_fuse = can_fuse and probe_body.ss_strain_vox is None
+    # mesh-accurate fluid drag runs on the jnp path (the kernel's fluid
+    # model is the voxel-face approximation)
+    can_fuse = can_fuse and not use_mesh_drag
     if with_collision:
         # the evaluator streams PER-INDIVIDUAL dense pair fields as a
         # (batch_block=8, Vp, Vp) VMEM block — supports()'s 2048-lane bound
@@ -599,6 +645,9 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
                 *[pad_collision_system(cs, s_max)
                   for cs in collision_systems],
             ),)
+        if use_mesh_drag:
+            extra_args = extra_args + (jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *mesh_systems),)
 
     def _run(n_steps):
         if use_fused:
@@ -611,6 +660,7 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
             fn = make_batched_evaluator(
                 palette, tuple(grid), n_steps, tuple(field_names), ("all",),
                 with_collision=with_collision,
+                with_mesh_drag=use_mesh_drag,
             )
         out = fn(
             jnp.asarray(structures),

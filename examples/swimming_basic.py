@@ -5,6 +5,9 @@ TPU-native equivalent of the reference's swimming experiment
 a fluid environment disables gravity and floor (neutral buoyancy) and applies
 quadratic drag on exposed surfaces (reference: land_water VX_Sim.cpp:1516-1600);
 the same CPPN material tree as basic.py evolves body plans that swim.
+The evaluator simulates the parity-validated deformed-mesh facet drag by
+default; pass Env(drag_model='voxel_face') for the ~10x-faster fused-kernel
+face approximation (DRAGDIV.json quantifies the difference).
 
 Run:  python examples/swimming_basic.py [--gens N] [--pop N] [--cpu]
 """
