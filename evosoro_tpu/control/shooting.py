@@ -186,7 +186,7 @@ _fused_cem_solver_cache: dict = {}
 
 
 def make_fused_cem_solver(runner, num_knots: int, grid_shape,
-                          config: CEMConfig = CEMConfig()):
+                          config: CEMConfig = CEMConfig(), mesh=None):
     """Build (and cache) a ONE-device-program CEM solve over the fused
     Pallas rollout kernel: the whole solver — candidate sampling, the
     rollout kernel, cost reduction and the elite update — is a `lax.scan`
@@ -199,7 +199,13 @@ def make_fused_cem_solver(runner, num_knots: int, grid_shape,
     feature envelope. Returns `solve(key, packed, mean0, std0) ->
     (best_u, best_cost, best_trace, mean_trace, mean, std)` plus the
     traceable body (for composing several solves into one program, e.g.
-    device-time benchmarking via lax.map)."""
+    device-time benchmarking via lax.map).
+
+    `mesh`: optional Mesh with a "rollout"-style first axis — the candidate
+    rollout batch (the hot 99%) is shard_map'd across it, one kernel grid
+    per device over its population shard; the tiny CEM update runs on the
+    full (gathered) cost vector. The population must divide by
+    n_devices x batch_block(8)."""
     import sys
 
     fr = sys.modules["evosoro_tpu.ops.fused_rollout"]
@@ -211,11 +217,52 @@ def make_fused_cem_solver(runner, num_knots: int, grid_shape,
     shape = (num_knots,) + tuple(grid_shape)
     call_kwargs = dict(runner._call_kwargs)
 
+    import numpy as _np
+
+    mesh_key = None if mesh is None else (
+        tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
     cache_key = (tuple(sorted(
         (k, v) for k, v in call_kwargs.items())), P, n_elite, config,
-        shape, L)
+        shape, L, mesh_key)
     if cache_key in _fused_cem_solver_cache:
         return _fused_cem_solver_cache[cache_key]
+
+    kernel_call = lambda sp, bp, st, ctrl, coll, ss, bc: fr._fused_call(  # noqa: E731
+        sp, bp, st, ctrl, coll, ss, bc, **call_kwargs)
+    if mesh is not None and _np.prod(mesh.devices.shape) > 1:
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.7 layout
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        ax = mesh.axis_names[0]
+        bspec = lambda x: PS(ax, *([None] * (x.ndim - 1)))  # noqa: E731
+        rspec = lambda x: PS(*([None] * x.ndim))  # noqa: E731
+
+        def kernel_sharded(sp, bp, st, ctrl, coll, ss, bc):
+            # state/stats/controls are per-candidate (sharded); the body,
+            # shared collision table and side tables are replicated
+            args = (sp, bp, st, ctrl, coll, ss, bc)
+            shared_body = bp.shape[0] == 1
+            in_specs = (
+                bspec(sp),
+                rspec(bp) if shared_body else bspec(bp),
+                bspec(st),
+                bspec(ctrl),
+                jax.tree_util.tree_map(rspec, coll),
+                jax.tree_util.tree_map(rspec, ss),
+                jax.tree_util.tree_map(rspec, bc),
+            )
+            out_specs = (bspec(sp), bspec(st))
+            return shard_map(
+                kernel_call, mesh=mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False,
+            )(*args)
+
+        kernel_dispatch = kernel_sharded
+    else:
+        kernel_dispatch = kernel_call
 
     def solve_body(key, packed, mean0, std0):
         state_packed, body_packed, stats, coll, ss, bc = packed
@@ -227,9 +274,8 @@ def make_fused_cem_solver(runner, num_knots: int, grid_shape,
             us = jnp.clip(mean[None] + std[None] * eps,
                           -config.u_clip, config.u_clip)
             ctrl = fr._flat(us, Vp)
-            out_state, out_stats = fr._fused_call(
-                state_packed, body_packed, stats, ctrl, coll, ss, bc,
-                **call_kwargs,
+            out_state, out_stats = kernel_dispatch(
+                state_packed, body_packed, stats, ctrl, coll, ss, bc
             )
             m = fr.packed_metrics(out_state, body_packed, out_stats, L)
             costs = jnp.where(m["diverged"], 1e9, -m["norm_final_dist"])
@@ -269,12 +315,15 @@ def cem_optimize_fused(
     state0: SimState | None = None,
     stop_time=None,
     interpret: bool = False,
+    mesh=None,
 ):
     """CEM over control sequences through the fused Pallas rollout kernel:
     the production MPC solve path on TPU. One solve is ONE device program
     (`make_fused_cem_solver`) — the CEM loop is a lax.scan whose every
     iteration invokes the multi-step rollout kernel with the state
     VMEM-resident, so a solve pays exactly one host->device launch.
+    Pass a `mesh` to spread the candidate rollouts over devices
+    (population padded to n_devices x 8).
 
     Same semantics as `cem_optimize` (which remains the general/differen-
     tiable-feature path)."""
@@ -282,14 +331,16 @@ def cem_optimize_fused(
 
     import numpy as np
 
-    P = int(np.ceil(config.pop_size / 8) * 8)
+    quantum = 8 * (int(np.prod(mesh.devices.shape)) if mesh is not None else 1)
+    P = int(np.ceil(config.pop_size / quantum) * quantum)
     runner = FusedBatchRunner(
         body, sim, env, batch=P, num_steps=num_steps, num_knots=num_knots,
         dt=dt, state=state0, stop_time=stop_time, interpret=interpret,
     )
     X, Y, Z = body.occ.shape
     shape = (num_knots, X, Y, Z)
-    solve, _ = make_fused_cem_solver(runner, num_knots, (X, Y, Z), config)
+    solve, _ = make_fused_cem_solver(runner, num_knots, (X, Y, Z), config,
+                                     mesh=mesh)
     mean0 = jnp.zeros(shape, jnp.float32)
     std0 = jnp.full(shape, config.init_std, jnp.float32)
     packed = (runner.state_packed, runner.body_packed, runner.stats,

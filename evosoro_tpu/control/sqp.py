@@ -178,6 +178,56 @@ def sqp_optimize(
     )
 
 
+def sqp_optimize_multistart(
+    key,
+    body: VoxelBody,
+    sim: SimParams,
+    env: EnvParams,
+    num_steps: int,
+    num_knots: int,
+    n_starts: int = 8,
+    target=0.5,
+    config: SQPConfig = SQPConfig(),
+    dt=None,
+    init_std: float = 0.02,
+    mesh=None,
+):
+    """Multi-start projected Gauss–Newton: `n_starts` independent SQP solves
+    from perturbed initializations, vmapped into one program; returns the
+    best (u, cost) plus all costs.
+
+    `mesh`: optional Mesh — the start axis is sharded across its first axis
+    (the jnp rollout is pure elementwise over starts, so GSPMD partitions
+    the whole solve; the JᵀJ CG products stay device-local and only the
+    final argmin gathers). n_starts must divide by the device count."""
+    X, Y, Z = body.occ.shape
+    dtype = body.nom_pos.dtype
+    u0s = init_std * jax.random.normal(
+        key, (n_starts, num_knots, X, Y, Z), dtype)
+    u0s = u0s.at[0].set(0.0)  # keep the deterministic zero start
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        ax = mesh.axis_names[0]
+        u0s = jax.device_put(
+            u0s, NamedSharding(mesh, PS(ax, None, None, None, None)))
+
+    def one(u0):
+        return sqp_optimize(
+            body, sim, env, num_steps, num_knots, target=target,
+            config=config, dt=dt, init_u=u0,
+        )
+
+    us, infos = jax.jit(jax.vmap(one))(u0s)
+    best = jnp.argmin(infos["best_cost"])
+    return us[best], dict(
+        best_cost=infos["best_cost"][best],
+        all_costs=infos["best_cost"],
+        best_start=best,
+    )
+
+
 def locomotion_sqp(
     body: VoxelBody,
     sim: SimParams,

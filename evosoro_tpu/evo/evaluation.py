@@ -137,14 +137,21 @@ def _np_max_dt(structure, e_mod_default, stiffness, palette_np,
 
 def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
                          lattice_dim, sim_params, env_flags_src,
-                         interpret=False, with_collision=False):
+                         interpret=False, with_collision=False, mesh=None):
     """Batched evaluation through the fused multi-step Pallas kernel
     (ops/fused_rollout.py): per-individual bodies, envs, dt and stop time
     ride per-robot channels, so the whole generation is ONE kernel launch
     with the rollout state VMEM-resident. ~10x the jnp-scan evaluator on
     TPU for the default feature envelope. `with_collision`: the returned fn
     takes a per-individual dense (B, Vp, Vp) pair-stiffness batch (built
-    host-side by `_dispatch_batch`) as a 6th argument."""
+    host-side by `_dispatch_batch`) as a 6th argument.
+
+    `mesh`: optional jax.sharding.Mesh with a "rollout" axis. With >1
+    device the kernel launch is wrapped in shard_map so each device runs
+    its own grid over its local batch shard (pallas_call has no SPMD rule;
+    plain-jit sharding would gather) — the packing/metrics stages are
+    elementwise over the batch, so GSPMD shards those automatically. The
+    batch must divide by n_devices x batch_block(8)."""
     # the env/sim flag set and physics scalars are baked into the kernel
     # closure, so they MUST be part of the cache key — a same-shape
     # experiment with different features (e.g. fluid on/off) is a
@@ -179,8 +186,11 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
     feature_key = feature_key + (
         _sys.modules["evosoro_tpu.ops.fused_rollout"]._source_statics(
             env_flags_src),)
+    mesh_key = None if mesh is None else (
+        tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
     key = ("fused", grid_shape, num_steps, tuple(sorted(field_names)),
-           float(lattice_dim), interpret, with_collision, feature_key)
+           float(lattice_dim), interpret, with_collision, feature_key,
+           mesh_key)
     if key in _compiled_cache:
         return _compiled_cache[key]
 
@@ -277,13 +287,8 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
     # measured on-chip: wider batch blocks gain only ~3% even for 1-2-tile
     # bodies (the per-step op chain pipelines across grid programs), while
     # padding small pops to wider blocks costs real work — keep 8
-    @jax.jit
-    def fn(structures, voxel_fields, _sim_unused, env_batch, stop_time,
-           collision_packed=None):
-        sp, bp, rows = jax.vmap(
-            lambda s, v, e: pack_one(s, v, e, stop_time)
-        )(structures, voxel_fields, env_batch)
-        out_state, out_stats = fr._fused_call(
+    def _kernel_call(sp, bp, rows, collision_packed):
+        return fr._fused_call(
             sp, bp, rows, None, collision_packed,
             num_steps=num_steps,
             grid_shape=grid_shape,
@@ -294,6 +299,37 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
             flags=tuple(sorted(flags.items())),
             prec=DEFAULT_PRECISION,
         )
+
+    if mesh is not None and np.prod(mesh.devices.shape) > 1:
+        try:
+            from jax import shard_map
+        except ImportError:  # jax < 0.7 layout
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        ax = mesh.axis_names[0]
+        spec = lambda x: P(ax, *([None] * (x.ndim - 1)))  # noqa: E731
+
+        def _kernel_sharded(sp, bp, rows, collision_packed):
+            args = (sp, bp, rows, collision_packed)
+            in_specs = jax.tree_util.tree_map(spec, args)
+            out_specs = (spec(sp), spec(rows))
+            return shard_map(
+                _kernel_call, mesh=mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False,
+            )(*args)
+
+        kernel_dispatch = _kernel_sharded
+    else:
+        kernel_dispatch = _kernel_call
+
+    @jax.jit
+    def fn(structures, voxel_fields, _sim_unused, env_batch, stop_time,
+           collision_packed=None):
+        sp, bp, rows = jax.vmap(
+            lambda s, v, e: pack_one(s, v, e, stop_time)
+        )(structures, voxel_fields, env_batch)
+        out_state, out_stats = kernel_dispatch(sp, bp, rows, collision_packed)
         return fr.packed_metrics(out_state, bp, out_stats, lattice_dim)
 
     _compiled_cache[key] = fn
@@ -383,12 +419,20 @@ def evaluate_all(
     time_to_try_again=10,
     save_lineages=False,
     batch_pad=8,
+    devices=None,
 ):
     """Evaluate every unevaluated individual in `pop` in one batched TPU
     dispatch. Signature-compatible with the reference's evaluate_all
     (tools/evaluation.py:18) so optimizers are drop-in.
 
     `sim`/`env` are evo.base.Sim / evo.base.Env experiment containers.
+
+    `devices`: devices to spread the generation over (default: ALL local
+    devices — a multi-chip host runs the evolutionary loop sharded without
+    user plumbing; pass `[jax.devices()[0]]` to force single-device). The
+    fused kernel rides shard_map over a "rollout" mesh axis; small
+    populations use only as many devices as they can fill (>=1
+    batch_block of 8 rollouts per device).
 
     `max_eval_time` / `time_to_try_again` are accepted for signature
     compatibility but intentionally unused: they are the reference's
@@ -421,7 +465,8 @@ def evaluate_all(
             to_eval.append(ind)
 
     if to_eval:
-        _dispatch_batch(sim, env, pop, to_eval, print_log, batch_pad=batch_pad)
+        _dispatch_batch(sim, env, pop, to_eval, print_log,
+                        batch_pad=batch_pad, devices=devices)
 
     # bookkeeping identical to the reference path (evaluation.py:160-184)
     for ind in to_eval:
@@ -443,7 +488,8 @@ def evaluate_all(
     return pop
 
 
-def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
+def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
+                    devices=None):
     from evosoro_tpu.core.materials import devo_params_from_vxa
     from evosoro_tpu.core.types import EnvParams, SimParams  # noqa: F401
 
@@ -493,7 +539,13 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
 
     field_names = sorted(set().union(*[set(f) for f in all_fields]) - {"structure"})
     B = len(inds)
-    Bp = int(np.ceil(B / batch_pad) * batch_pad)
+    # data-parallel sharding over local devices (the production multi-chip
+    # path, SURVEY.md §2.4): only as many shards as the generation can fill
+    # with whole batch_blocks
+    if devices is None:
+        devices = jax.devices()
+    n_shards = max(1, min(len(devices), B // batch_pad))
+    Bp = int(np.ceil(B / (batch_pad * n_shards)) * batch_pad * n_shards)
 
     structures = np.zeros((Bp,) + tuple(grid), dtype=np.int32)
     voxel_fields = {
@@ -649,12 +701,18 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8):
             extra_args = extra_args + (jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *mesh_systems),)
 
+    eval_mesh = None
+    if use_fused and n_shards > 1:
+        from jax.sharding import Mesh
+
+        eval_mesh = Mesh(np.array(devices[:n_shards]), ("rollout",))
+
     def _run(n_steps):
         if use_fused:
             fn = make_fused_evaluator(
                 palette, tuple(grid), n_steps, tuple(field_names), L,
                 sim_params, all_env[0], interpret=not on_tpu,
-                with_collision=with_collision,
+                with_collision=with_collision, mesh=eval_mesh,
             )
         else:
             fn = make_batched_evaluator(
