@@ -178,6 +178,15 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         bool(sim_params.plasticity_enabled),
         int(np.asarray(palette.mat_model).max()),
         _palette_digest(palette),
+        bool(env_flags_src.needle_in_haystack),
+        bool(env_flags_src.falling_prohibited),
+        bool(env_flags_src.norm_dist_by_vol),
+        int(env_flags_src.num_trace_steps_in_window),
+        float(env_flags_src.time_between_traces),
+        float(env_flags_src.normalization_exponent),
+        float(env_flags_src.min_growth_time),
+        float(env_flags_src.ballistic_slowdown_fact),
+        float(env_flags_src.max_slowdown_permitted),
     )
     from evosoro_tpu.ops import fused_rollout as _fr_key  # noqa: F401
     import sys as _sys
@@ -222,6 +231,11 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
                              - float(sim_params.init_cm_time)),
         max_vel_limit=float(sim_params.max_vox_vel_limit),
         sources=fr._source_statics(env_flags_src),
+        tb=float(env_flags_src.time_between_traces),
+        nexp=float(env_flags_src.normalization_exponent),
+        min_growth_t=float(env_flags_src.min_growth_time),
+        bal_slow=float(env_flags_src.ballistic_slowdown_fact),
+        max_slow=float(env_flags_src.max_slowdown_permitted),
     )
     flags = dict(
         gravity=bool(env_flags_src.gravity_enabled
@@ -248,6 +262,13 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         use_growth_t="growth_time" in field_names,
         use_final_phase="final_phase_offset" in field_names,
         use_final_ad="final_temp_amp_damp" in field_names,
+        needle=bool(env_flags_src.needle_in_haystack),
+        falling=bool(env_flags_src.falling_prohibited),
+        ndbv=bool(env_flags_src.norm_dist_by_vol),
+        window=int(env_flags_src.num_trace_steps_in_window) > 0,
+        n_win=int(env_flags_src.num_trace_steps_in_window),
+        ballistic=bool(int(env_flags_src.num_trace_steps_in_window) > 0
+                       and "final_voxel_size" in field_names),
     )
     dt_frac = float(sim_params.dt_frac)
     init_cm_time = float(sim_params.init_cm_time)
@@ -261,13 +282,16 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
             body, sim_params.volume_effects_enabled
         ) * dt_frac
         state = init_state(
-            body, volume_effects=sim_params.volume_effects_enabled
+            body, volume_effects=sim_params.volume_effects_enabled,
+            ballistic_devo=flags["ballistic"],
         )
         sp = fr.pack_state_single(state, Vp)
         bp = fr.pack_body(body, Vp)[0]
         total_mass = jnp.sum(body.mass)
         inv_m = jnp.where(total_mass > 0, 1.0 / total_mass, 0.0)
         row = jnp.zeros((fr.C_STAT,), jnp.float32)
+        row = row.at[fr._S_LASTTR].set(-1.0)
+        row = row.at[fr._S_LASTWIN].set(-1.0)
         row = row.at[fr._S_DT].set(dt.astype(jnp.float32))
         row = row.at[fr._S_INV_MASS].set(inv_m.astype(jnp.float32))
         row = row.at[fr._S_STOP].set(jnp.asarray(stop_time, jnp.float32))
@@ -330,7 +354,12 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
             lambda s, v, e: pack_one(s, v, e, stop_time)
         )(structures, voxel_fields, env_batch)
         out_state, out_stats = kernel_dispatch(sp, bp, rows, collision_packed)
-        return fr.packed_metrics(out_state, bp, out_stats, lattice_dim)
+        return fr.packed_metrics(
+            out_state, bp, out_stats, lattice_dim,
+            ndbv=flags["ndbv"], falling=flags["falling"],
+            needle=flags["needle"], window=flags["window"],
+            grid_z=grid_shape[2],
+        )
 
     _compiled_cache[key] = fn
     return fn

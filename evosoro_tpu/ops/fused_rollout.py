@@ -84,7 +84,11 @@ _MAXS = 44  # 44..46
 _TSAVG = 47  # 47..49
 _CSAVG = 50  # 50..52
 _SOFF = 53  # 53..55 per-direction plastic strain offset
-C_S = 56
+# ballistic-development dynamic per-voxel devo fields (the reference rebases
+# these every step once speed windows exist, VXS_Voxel.cpp:342-381; zero /
+# unused unless flags["ballistic"])
+_DEVO_DYN = 56  # init_size, final_size, growth_time, start_growth_time
+C_S = 64  # 60 channels padded to a sublane multiple
 
 # body channels (C_B = 72)
 _B_OCC = 0
@@ -137,7 +141,8 @@ _B_MTPHASE = _B_DEVO + 8  # per-material temperature phase [rad]
 _B_MATMODEL = _B_DEVO + 9
 _B_PLASTIC = _B_DEVO + 10
 _B_YIELD = _B_DEVO + 11
-C_B = 88  # 84 channels padded to a sublane multiple
+_B_MAT = _B_DEVO + 12  # material id (mat-7 needle / mat-6 feet / mat-5 masks)
+C_B = 88  # 85 channels padded to a sublane multiple
 
 # stats channels (lane-padded to 16)
 _S_TIME = 0
@@ -158,7 +163,26 @@ _S_GAMP = 14  # growth amplitude (scale upper bound - 1)
 _S_DRAGC = 15  # aggregate drag coefficient (fluid environments)
 _S_KE = 16  # 16..21: kinetic-energy history ring (equilibrium mode)
 _S_SRC = 22  # 22..24 per-source min dist, 25..27 history sums, 28 count
-C_STAT = 32
+# fitness-feature channels (VERDICT r3 #8): falling-prohibited latch,
+# norm-dist-by-vol online trace accumulators, devo window scalars,
+# needle-in-haystack initial position, end-of-life posterior Y
+_S_FELL = 29     # fall-over latch (VX_Sim.cpp:1412-1419)
+_S_PCMY = 30     # previous trace sample: CoM y
+_S_PVOL = 31     # previous trace sample: robot volume
+_S_ND = 32       # Σ dy/L/vol^exp, whole life (VX_SimGA.cpp:58-117)
+_S_NDRG = 33     # afterlife-regime accumulator
+_S_NDFZ = 34     # frozen-window accumulator
+_S_NTR = 35      # trace sample count
+_S_LASTTR = 36   # last trace sample time (-1 sentinel)
+_S_WLAST = 37    # last completed window distance (VX_Sim.cpp:2745-2784)
+_S_WPREV = 38    # previous completed window distance
+_S_WCNT = 39     # completed window count
+_S_LASTWIN = 40  # last window boundary time (-1 sentinel)
+_S_NEEDLE = 41   # 41..43 initial needle position (VX_Sim.cpp:1084-1088)
+_S_NCAP = 44     # needle captured flag
+_S_EOLY = 45     # posterior Y captured at the stop time (lattice units)
+_S_EOLCAP = 46   # eol captured flag
+C_STAT = 48
 
 
 def _cdiv(a, b):
@@ -785,6 +809,42 @@ def _make_kernel(
         else:
             ke0 = ()
 
+        # ---- fitness-feature carries (r4: needle / falling-prohibited /
+        # NormDistByVol / trace windows / ballistic devo in-kernel; the jnp
+        # analogs live in core/rollout.py step_fn + core/step.py devo) ----
+        feat_on = bool(
+            flags.get("needle") or flags.get("falling")
+            or flags.get("ndbv") or flags.get("window")
+            or flags.get("ballistic")
+        )
+        n_win = int(flags.get("n_win", 0) or 0)
+        if feat_on:
+            matid = body_at(_B_MAT)
+            feat0 = (
+                stat(_S_FELL), stat(_S_PCMY), stat(_S_PVOL),
+                stat(_S_ND), stat(_S_NDRG), stat(_S_NDFZ),
+                stat(_S_NTR), stat(_S_LASTTR),
+                stat(_S_WLAST), stat(_S_WPREV), stat(_S_WCNT),
+                stat(_S_LASTWIN),
+                stat(_S_NEEDLE), stat(_S_NEEDLE + 1), stat(_S_NEEDLE + 2),
+                stat(_S_NCAP), stat(_S_EOLY), stat(_S_EOLCAP),
+            )
+            # trace-sample ring for the windowed distance (exact replication
+            # of core/rollout's buf_y/buf_v; single-call rollouts only)
+            ringy0 = tuple(jnp.zeros_like(t0) for _ in range(n_win))
+            ringv0 = tuple(jnp.zeros_like(t0) for _ in range(n_win))
+        else:
+            matid = None
+            feat0 = ()
+            ringy0 = ()
+            ringv0 = ()
+        if flags.get("ballistic"):
+            # dynamic per-voxel devo fields (rebased in-step,
+            # VXS_Voxel.cpp:342-381); packed from state.devo
+            dd0 = tuple(ch(_DEVO_DYN + k) for k in range(4))
+        else:
+            dd0 = ()
+
         if ss_ref is not None:
             P_ss = (ss_ref.shape[1] - 3) // 2
             ss_ctx = dict(
@@ -864,10 +924,15 @@ def _make_kernel(
         def step(i, carry):
             (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
              t, div_f, ini, capt_f, tsavg, csavg, ke_hist, dt_carry,
-             soff, src_min, src_sum, src_cnt) = carry
+             soff, src_min, src_sum, src_cnt, feat, ringy, ringv, dd) = carry
             small = tuple(sf > 0.5 for sf in small_f)
             div = div_f > 0.5
             capt = capt_f > 0.5
+            if flags.get("ballistic"):
+                init_size_s, final_size_s, growth_t_s, start_gt_s = dd
+            elif devo_on:
+                init_size_s, final_size_s = init_size, final_size
+                growth_t_s, start_gt_s = growth_t, start_gt
             # the bond damping pass reads the previous step's dt; under
             # volume effects dt is recomputed after the bond pass
             # (VX_Sim.cpp:1792-1795), otherwise it is constant
@@ -918,7 +983,53 @@ def _make_kernel(
             ini = tuple(jnp.where(take, c, i0) for c, i0 in zip(cm, ini))
             capt = capt | capture
 
+            if feat_on:
+                (fell, pcmy, pvol, nd, ndrg, ndfz, ntr, lasttr,
+                 wlast, wprev, wcnt, lastwin, ndl0, ndl1, ndl2, ncap,
+                 eoly, eolcap) = feat
+                # end-of-lifetime posterior Y from the previous step's
+                # positions (reference: VX_Sim.cpp:1078-1082); min voxel y
+                # over non-obstacle voxels in lattice units
+                valid_no = occ & (jnp.abs(matid - 5.0) > 0.5)
+                py = jnp.min(
+                    jnp.where(valid_no, pos[1] * (1.0 / L),
+                              jnp.asarray(3.4e38, f32)),
+                    axis=1, keepdims=True)
+                ecap = (eolcap < 0.5) & (t >= stop_t)
+                eoly = jnp.where(ecap, py, eoly)
+                eolcap = jnp.where(ecap, 1.0, eolcap)
+                if flags.get("needle"):
+                    # initial needle (mat-7) position at actuation onset
+                    # (VX_Sim.cpp:1084-1088); masked mean like core.rollout
+                    is7 = jnp.where(jnp.abs(matid - 7.0) < 0.5, 1.0, 0.0)
+                    n7 = jnp.sum(is7, axis=1, keepdims=True)
+                    npos = tuple(
+                        (jnp.sum(is7 * p, axis=1, keepdims=True)
+                         / jnp.maximum(n7, 1.0)).astype(f32) for p in pos)
+                    ncapb = (ncap < 0.5) & (t > init_cm)
+                    take_n = ncapb | ((i == 0) & (ncap < 0.5))
+                    ndl0 = jnp.where(take_n, npos[0], ndl0)
+                    ndl1 = jnp.where(take_n, npos[1], ndl1)
+                    ndl2 = jnp.where(take_n, npos[2], ndl2)
+                    ncap = jnp.where(ncapb, 1.0, ncap)
+                if flags.get("falling"):
+                    # fall-over latch: more mat-6 feet than non-feet touch
+                    # the floor (reference: VX_Sim.cpp:1412-1419)
+                    pen = 0.5 * scale - pos[2]
+                    touch = (pen > 0.0) & occ
+                    nall = jnp.sum(jnp.where(touch, 1.0, 0.0),
+                                   axis=1, keepdims=True)
+                    feet = touch & (jnp.abs(matid - 6.0) < 0.5)
+                    nfeet = jnp.sum(jnp.where(feet, 1.0, 0.0),
+                                    axis=1, keepdims=True)
+                    fell = jnp.maximum(fell, jnp.where(
+                        (t > init_cm) & (nfeet > nall - nfeet), 1.0, 0.0))
+
             frozen = div | (t >= stop_t)
+            if feat_on and flags.get("falling"):
+                # a fallen-over robot's sim ends (core/rollout.py `stopped
+                # = fell | ...`)
+                frozen = frozen | (fell > 0.5)
 
             st = dict(
                 pos=pos, quat=quat, scale=scale, small=small,
@@ -1294,12 +1405,12 @@ def _make_kernel(
                 cpre = jnp.where(
                     t >= 0.5 * init_cm, 1.0, _safe_div(2.0 * t, init_cm)
                 )
-                prenatal = cpre * (_safe_div(init_size, L) - 1.0)
+                prenatal = cpre * (_safe_div(init_size_s, L) - 1.0)
             else:
                 prenatal = None
             dev_temp_fact = dev_phase = dev_ampdamp = None
             if flags["use_growth_t"] or flags["use_final_size"]:
-                growing = (t >= start_gt) & (growth_t > 0)
+                growing = (t >= start_gt_s) & (growth_t_s > 0)
                 # mid-life development freeze pauses the effective clock
                 # (FrozenTimeAdj, core.step.py:641-656); freeze=0 reduces to
                 # the plain ramp
@@ -1308,14 +1419,15 @@ def _make_kernel(
                 frozen_adj = jnp.clip(t - (middle - 0.5 * freeze),
                                       0.0, freeze)
                 eff_t = (
-                    jnp.minimum(t, start_gt + growth_t + freeze) - frozen_adj
+                    jnp.minimum(t, start_gt_s + growth_t_s + freeze)
+                    - frozen_adj
                 )
                 kdev = jnp.where(
-                    growing, _safe_div(eff_t - start_gt, growth_t), 0.0
+                    growing, _safe_div(eff_t - start_gt_s, growth_t_s), 0.0
                 )
                 if flags["use_final_size"]:
                     dev_temp_fact = kdev * (
-                        _safe_div(final_size, init_size) - 1.0
+                        _safe_div(final_size_s, init_size_s) - 1.0
                     )
                 if flags["use_final_phase"]:
                     dev_phase = kdev * (final_phase - phase)
@@ -1381,6 +1493,122 @@ def _make_kernel(
                         u = u + jnp.where(knot == k, 1.0, 0.0) * ctrl_knots[k]
                 scale_new = scale_new + jnp.where(occ, u * L, 0.0)
 
+            # ---- ballistic velocity-adjusted development rebasing
+            # (reference: VXS_Voxel.cpp:342-381; core/step.py:723-769) ----
+            dd_new = dd
+            if flags.get("ballistic"):
+                time_in_window = n_win * sc["tb"]
+                ready = (wcnt >= 1.5) & (t >= init_cm + 2.0 * time_in_window)
+                apply = ready & (t >= start_gt_s + sc["min_growth_t"])
+                this_s, last_s = wlast, wprev
+                ratio = _safe_div(
+                    this_s, jnp.where(last_s != 0, last_s, 1.0))
+                decreasing = ((last_s > 0) & (this_s < last_s)
+                              & (ratio < 1.0 - sc["max_slow"]))
+                adj = 1.0 - jnp.where(decreasing, sc["bal_slow"], 0.0)
+                cur_size = grow_fact * L
+                suggested = cur_size + (final_size_s - cur_size) * adj
+                orig = body_at(_B_FINAL_SIZE)  # original final size
+                up = orig > cur_size
+                sugg_up = jnp.minimum(suggested, orig)
+                fin_up = jnp.where(sugg_up >= cur_size, sugg_up, cur_size)
+                sugg_dn = jnp.maximum(suggested, orig)
+                fin_dn = jnp.where(sugg_dn <= cur_size, sugg_dn, cur_size)
+                reb_final = jnp.where(up, fin_up, fin_dn)
+                reb_growth = jnp.maximum(growth_t_s - (t - start_gt_s), 0.0)
+                t_vox = jnp.broadcast_to(t, init_size_s.shape)
+                dd_new = (
+                    jnp.where(apply, cur_size, init_size_s),
+                    jnp.where(apply, reb_final, final_size_s),
+                    jnp.where(apply, reb_growth, growth_t_s),
+                    jnp.where(apply, t_vox, start_gt_s),
+                )
+
+            # ---- trace sampling + windowed distances (reference:
+            # VX_Sim.cpp:1600-1606 UpdateStats / core/rollout.py:384-423;
+            # NormDistByVol accumulates per trace interval,
+            # VX_SimGA.cpp:58-117, computed online instead of from a stored
+            # trace). Uses the RAW integrated state and t + dt exactly like
+            # the jnp step (its trace block runs before the stop freeze). --
+            feat_new = feat
+            ringy_new, ringv_new = ringy, ringv
+            if feat_on:
+                t_new = t + dt
+                trace_feats = (flags.get("ndbv") or flags.get("window")
+                               or flags.get("ballistic"))
+                if trace_feats:
+                    cmy_new = jnp.sum(
+                        pos[1] * mass, axis=1, keepdims=True) * inv_mass_tot
+                    srel = scale_new * (1.0 / L)
+                    vol_new = jnp.sum(
+                        jnp.where(occ, srel * srel * srel, 0.0),
+                        axis=1, keepdims=True)
+                    tb_s = sc["tb"]
+                    trace_due = (t_new > init_cm) & (
+                        (ntr < 0.5) | (lasttr + tb_s <= t_new))
+
+                    def _vol_norm(dy, v1, v2):
+                        avg = 0.5 * (v1 + v2)
+                        safe = jnp.where(avg > 0, avg, 1.0)
+                        if float(sc["nexp"]) == 1.0:
+                            return dy / safe
+                        return dy / safe ** sc["nexp"]
+
+                    if flags.get("ndbv"):
+                        addt = trace_due & (ntr > 0.5)
+                        term = _vol_norm((cmy_new - pcmy) * (1.0 / L),
+                                         vol_new, pvol)
+                        nd = nd + jnp.where(addt, term, 0.0)
+                        # afterlife-regime intervals: both samples past the
+                        # robot's stop time
+                        reg = (t_new > stop_t) & (lasttr > stop_t)
+                        ndrg = ndrg + jnp.where(addt & reg, term, 0.0)
+                        if flags.get("freeze_on"):
+                            # frozen-window mask (core/rollout.py:575-580 —
+                            # the fe term's missing init_cm offset is the
+                            # reference's own asymmetry, kept verbatim)
+                            fr_len = sc["freeze"]
+                            mid = sc["freeze_middle"]
+                            fs_w = mid - 0.5 * fr_len + init_cm
+                            fe_w = mid + 0.5 * fr_len
+                            in_w = lambda tt: (tt > fs_w) & (tt < fe_w)  # noqa: E731,E501
+                            ndfz = ndfz + jnp.where(
+                                addt & in_w(t_new) & in_w(lasttr), term, 0.0)
+                    if n_win:
+                        # exact ring replication of core/rollout's
+                        # buf_y/buf_v push
+                        shifted_y = ringy[1:] + (cmy_new,)
+                        shifted_v = ringv[1:] + (vol_new,)
+                        ringy_new = tuple(
+                            jnp.where(trace_due, sh, old)
+                            for sh, old in zip(shifted_y, ringy))
+                        ringv_new = tuple(
+                            jnp.where(trace_due, sh, old)
+                            for sh, old in zip(shifted_v, ringv))
+                    ntr = ntr + jnp.where(trace_due, 1.0, 0.0)
+                    lasttr = jnp.where(trace_due, t_new, lasttr)
+                    pcmy = jnp.where(trace_due, cmy_new, pcmy)
+                    pvol = jnp.where(trace_due, vol_new, pvol)
+
+                    if n_win:
+                        win_due = (t_new > init_cm) & (
+                            (lastwin < -0.5)
+                            | (lastwin + n_win * tb_s <= t_new))
+                        valid_n = jnp.minimum(ntr, float(n_win))
+                        wd = jnp.zeros_like(t0)
+                        for k in range(n_win - 1):
+                            pair_ok = valid_n >= float(n_win - k)
+                            dyk = (ringy_new[k + 1] - ringy_new[k]) * (1.0 / L)
+                            tk = _vol_norm(dyk, ringv_new[k + 1], ringv_new[k])
+                            wd = wd + jnp.where(pair_ok, tk, 0.0)
+                        wprev = jnp.where(win_due, wlast, wprev)
+                        wlast = jnp.where(win_due, wd, wlast)
+                        wcnt = wcnt + jnp.where(win_due, 1.0, 0.0)
+                        lastwin = jnp.where(win_due, t_new, lastwin)
+                feat_new = (fell, pcmy, pvol, nd, ndrg, ndfz, ntr, lasttr,
+                            wlast, wprev, wcnt, lastwin, ndl0, ndl1, ndl2,
+                            ncap, eoly, eolcap)
+
             # ---- freeze (divergence latch / per-rollout stop time;
             # reference aborts: VX_Sim.cpp:1774-1777) ----
             fz = lambda old, new: jnp.where(frozen, old, new)  # noqa: E731
@@ -1419,17 +1647,23 @@ def _make_kernel(
                 src_min,
                 src_sum,
                 src_cnt,
+                feat_new,
+                ringy_new,
+                ringv_new,
+                # devo fields are state -> stop/divergence freeze applies
+                fzt(carry[25], dd_new) if flags.get("ballistic") else (),
             )
             return carry_new
 
         carry = (pos0, quat0, lin0, ang0, scale0, small0, lp20, la10, la20,
                  maxs0, t0, div0, ini0, capt0, tsavg0, csavg0, ke0,
                  (dt0,) if vol_outer else (), soff0,
-                 srcmin0, srcsum0, srccnt0)
+                 srcmin0, srcsum0, srccnt0, feat0, ringy0, ringv0, dd0)
         carry = jax.lax.fori_loop(0, num_steps, step, carry)
         (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
          t, div_f, ini, capt_f, tsavg_f, csavg_f, ke_f, dt_f,
-         soff_f, srcmin_f, srcsum_f, srccnt_f) = carry
+         soff_f, srcmin_f, srcsum_f, srccnt_f, feat_f, _ry_f, _rv_f,
+         dd_f) = carry
 
         # ---- write back ----
         for c in range(3):
@@ -1455,6 +1689,12 @@ def _make_kernel(
             state_out[:, _SOFF + c, :] = (
                 soff_f[c] if flags.get("plasticity") else zero
             )
+        for k in range(4):
+            state_out[:, _DEVO_DYN + k, :] = (
+                dd_f[k] if flags.get("ballistic") else zero
+            )
+        for k in range(_DEVO_DYN + 4, C_S):
+            state_out[:, k, :] = zero
 
         stats_out[:, :] = stats_in[:, :]
         stats_out[:, _S_TIME:_S_TIME + 1] = t
@@ -1472,6 +1712,15 @@ def _make_kernel(
                 stats_out[:, _S_SRC + k:_S_SRC + k + 1] = srcmin_f[k]
                 stats_out[:, _S_SRC + 3 + k:_S_SRC + 3 + k + 1] = srcsum_f[k]
             stats_out[:, _S_SRC + 6:_S_SRC + 7] = srccnt_f
+        if feat_on:
+            for off, val in zip(
+                (_S_FELL, _S_PCMY, _S_PVOL, _S_ND, _S_NDRG, _S_NDFZ,
+                 _S_NTR, _S_LASTTR, _S_WLAST, _S_WPREV, _S_WCNT,
+                 _S_LASTWIN, _S_NEEDLE, _S_NEEDLE + 1, _S_NEEDLE + 2,
+                 _S_NCAP, _S_EOLY, _S_EOLCAP),
+                feat_f,
+            ):
+                stats_out[:, off:off + 1] = val
 
     return kernel
 
@@ -1522,6 +1771,11 @@ def pack_state(state: SimState, Vp: int, dtype=jnp.float32):
     if state.strain_offset is not None:
         for d in range(3):
             chans[_SOFF + d] = f(state.strain_offset[:, d])
+    if state.devo is not None:
+        chans[_DEVO_DYN + 0] = f(state.devo.initial_voxel_size)
+        chans[_DEVO_DYN + 1] = f(state.devo.final_voxel_size)
+        chans[_DEVO_DYN + 2] = f(state.devo.growth_time)
+        chans[_DEVO_DYN + 3] = f(state.devo.start_growth_time)
     zero = jnp.zeros((B, Vp), dtype)
     chans = [zero if c is None else c for c in chans]
     return jnp.stack(chans, axis=1)
@@ -1565,7 +1819,16 @@ def unpack_state(packed, template: SimState, grid_shape) -> SimState:
                        axis=1)
         cs = jnp.stack([jnp.stack([g(_CSAVG + d) for d in range(3)], axis=1)] * 2,
                        axis=1)
-        extra = dict(ts_sum=ts, cs_area=cs)
+        # update, not assign: plasticity's strain_offset must survive when
+        # volume effects are also enabled
+        extra.update(ts_sum=ts, cs_area=cs)
+    if template.devo is not None:
+        extra["devo"] = template.devo.replace(
+            initial_voxel_size=g(_DEVO_DYN + 0),
+            final_voxel_size=g(_DEVO_DYN + 1),
+            growth_time=g(_DEVO_DYN + 2),
+            start_growth_time=g(_DEVO_DYN + 3),
+        )
     return template.replace(
         pos=pos, quat=quat, linmom=lin, angmom=ang, scale=scale,
         last_scale=scale, small_angle=small, max_strain=maxs,
@@ -1623,6 +1886,7 @@ def pack_body(body: VoxelBody, Vp: int, dtype=jnp.float32):
         chans[_B_PLASTIC] = f(body.plastic_mod)
     if body.yield_stress is not None:
         chans[_B_YIELD] = f(body.yield_stress)
+    chans[_B_MAT] = f(body.mat.astype(dtype))
     zero = jnp.zeros((Vp,), dtype)
     chans = [zero if c is None else c for c in chans]
     return jnp.stack(chans, axis=0)[None]
@@ -1685,6 +1949,9 @@ def make_stats(
     stats = jnp.zeros((batch, C_STAT), dtype)
     stats = stats.at[:, _S_DT].set(jnp.asarray(dt, dtype))
     stats = stats.at[:, _S_INV_MASS].set(inv_m.astype(dtype))
+    # -1 sentinels: "no trace sample / window boundary yet"
+    stats = stats.at[:, _S_LASTTR].set(-1.0)
+    stats = stats.at[:, _S_LASTWIN].set(-1.0)
     stats = stats.at[:, _S_STOP].set(
         jnp.asarray(np.inf if stop_time is None else stop_time, dtype)
     )
@@ -1716,6 +1983,17 @@ class FastRolloutStats:
     cm_captured: Any  # (B,) bool
     source_min_dist: Any = None  # (B, n_src) final min distances
     source_avg_min_dist: Any = None  # (B, n_src) history means
+    # r4 fitness-feature channels (zeros unless the matching env feature
+    # is enabled — see supports())
+    fell_over: Any = None  # (B,) bool fall-over latch
+    norm_dist_by_vol: Any = None  # (B,) whole-life Σ dy/L/vol^exp
+    norm_regime_dist_by_vol: Any = None  # (B,) afterlife accumulator
+    norm_frozen_dist_by_vol: Any = None  # (B,) frozen-window accumulator
+    norm_window_dist: Any = None  # (B,) last completed window distance
+    win_prev_dist: Any = None  # (B,) previous completed window
+    win_count: Any = None  # (B,)
+    ini_needle: Any = None  # (B, 3) initial needle position
+    end_of_life_posterior_y: Any = None  # (B,) lattice units
 
 
 def pack_state_single(state: SimState, Vp: int, dtype=jnp.float32):
@@ -1725,10 +2003,14 @@ def pack_state_single(state: SimState, Vp: int, dtype=jnp.float32):
     return pack_state(batched, Vp, dtype)[0]
 
 
-def packed_metrics(out_state, body_packed, out_stats, L):
+def packed_metrics(out_state, body_packed, out_stats, L, *, ndbv=False,
+                   falling=False, needle=False, window=False, grid_z=0):
     """Locomotion fitness surface straight off packed kernel outputs
     (no unpack): NormFinalDist = |ΔCoM_xy|/L (reference: VX_SimGA.cpp:36),
-    finalDistY, divergence."""
+    finalDistY, divergence; with the r4 feature kwargs it also reduces the
+    NormDistByVol family (VX_SimGA.cpp:58-117), the fall-over zeroing +
+    FallAdjPostY (VX_SimGA.cpp:115-126), needle push distance
+    (VX_SimGA.cpp:45-55) and the last completed window distance."""
     mass = body_packed[:, _B_MASS, :]
     inv_m = out_stats[:, _S_INV_MASS:_S_INV_MASS + 1]
     cm = [
@@ -1742,13 +2024,59 @@ def packed_metrics(out_state, body_packed, out_stats, L):
     dsq = jnp.sum(delta * delta, axis=-1)
     dist = jnp.where(dsq > 0, jnp.sqrt(jnp.where(dsq > 0, dsq, 1.0)), 0.0) / L
     diverged = out_stats[:, _S_DIV] > 0.5
+
+    norm_final_dist = dist
+    norm_regime_dist = jnp.zeros_like(dist)
+    norm_frozen_dist = jnp.zeros_like(dist)
+    if ndbv:
+        norm_final_dist = out_stats[:, _S_ND]
+        norm_regime_dist = out_stats[:, _S_NDRG]
+        norm_frozen_dist = out_stats[:, _S_NDFZ]
+    eoly = out_stats[:, _S_EOLY]
+    fall_adj_post_y = eoly
+    fell = out_stats[:, _S_FELL] > 0.5
+    if falling:
+        # fall-over zeroing + workspace-Z penalty (VX_SimGA.cpp:115-126)
+        fall_adj_post_y = jnp.where(fell, eoly - grid_z, eoly)
+        norm_final_dist = jnp.where(fell, 0.0, norm_final_dist)
+        norm_regime_dist = jnp.where(fell, 0.0, norm_regime_dist)
+        norm_frozen_dist = jnp.where(fell, 0.0, norm_frozen_dist)
+    # headline fitness subtracts the frozen-window distance
+    # (VX_SimGA.cpp:145; zero when ndbv off)
+    norm_final_dist = norm_final_dist - norm_frozen_dist
+
+    push_dist = jnp.zeros_like(dist)
+    found_needle = jnp.zeros_like(dist)
+    if needle:
+        mat = body_packed[:, _B_MAT, :]
+        is7 = jnp.where(jnp.abs(mat - 7.0) < 0.5, 1.0, 0.0)
+        n7 = jnp.maximum(jnp.sum(is7, axis=1, keepdims=True), 1.0)
+        np_f = [
+            jnp.sum(is7 * out_state[:, _POS + c, :], axis=1, keepdims=True)
+            / n7
+            for c in range(2)
+        ]
+        ndelta = [p[:, 0] - out_stats[:, _S_NEEDLE + c]
+                  for c, p in enumerate(np_f)]
+        ndsq = ndelta[0] ** 2 + ndelta[1] ** 2
+        push_dist = jnp.where(
+            ndsq > 0, jnp.sqrt(jnp.where(ndsq > 0, ndsq, 1.0)), 0.0) / L
+        found_needle = (ndsq > 0).astype(jnp.float32)
+
     return dict(
-        norm_final_dist=jnp.where(diverged, 0.0, dist),
+        norm_final_dist=jnp.where(diverged, 0.0, norm_final_dist),
         final_dist_y=delta[:, 1] / L,
         diverged=diverged,
         final_cm=final_cm,
         ini_cm=ini_cm,
         final_time=out_stats[:, _S_TIME],
+        norm_regime_dist=norm_regime_dist,
+        norm_frozen_dist=norm_frozen_dist,
+        fall_adj_post_y=fall_adj_post_y,
+        end_of_life_posterior_y=eoly,
+        push_dist=push_dist,
+        found_needle=found_needle,
+        norm_window_dist=out_stats[:, _S_WLAST],
     )
 
 
@@ -1758,6 +2086,15 @@ def stats_to_outputs(stats) -> FastRolloutStats:
         diverged=stats[:, _S_DIV] > 0.5,
         ini_cm=stats[:, _S_INICM:_S_INICM + 3],
         cm_captured=stats[:, _S_CAPT] > 0.5,
+        fell_over=stats[:, _S_FELL] > 0.5,
+        norm_dist_by_vol=stats[:, _S_ND],
+        norm_regime_dist_by_vol=stats[:, _S_NDRG],
+        norm_frozen_dist_by_vol=stats[:, _S_NDFZ],
+        norm_window_dist=stats[:, _S_WLAST],
+        win_prev_dist=stats[:, _S_WPREV],
+        win_count=stats[:, _S_WCNT],
+        ini_needle=stats[:, _S_NEEDLE:_S_NEEDLE + 3],
+        end_of_life_posterior_y=stats[:, _S_EOLY],
     )
 
 
@@ -1793,13 +2130,25 @@ def _body_has_bcs(body: VoxelBody) -> bool:
     )
 
 
+MAX_KERNEL_WINDOW = 12  # trace-sample ring slots carried per robot
+
+
 def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
-    """True when (body, sim, env) is inside the fused kernel's envelope."""
+    """True when (body, sim, env) is inside the fused kernel's envelope.
+
+    r4: needle-in-haystack, falling-prohibited, NormDistByVol and the
+    trace-window features (incl. ballistic devo) run in-kernel — the
+    NormDistByVol family accumulates per trace interval online and the
+    window ring carries up to MAX_KERNEL_WINDOW samples."""
     V = int(np.prod(body.occ.shape))
     Vp = _cdiv(V, 128) * 128
     # self-collision runs in-kernel as a dense (Vp, Vp) pair field; above
     # ~2k lanes the table and its temporaries outgrow VMEM
     collision_ok = body.collision is None or Vp <= 2048
+    n_win = int(env.num_trace_steps_in_window)
+    window_ok = n_win == 0 or (
+        n_win <= MAX_KERNEL_WINDOW and env.time_between_traces > 0)
+    ndbv_ok = (not env.norm_dist_by_vol) or env.time_between_traces > 0
     return (
         collision_ok
         # fluid runs in-kernel with the voxel-face drag model; bodies with a
@@ -1808,10 +2157,8 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
         and not env.floor_limited
         # up to 3 env sources track in-kernel (stats-channel budget)
         and (env.sources is None or env.sources.num_sources <= 3)
-        and not env.needle_in_haystack
-        and not env.falling_prohibited
-        and not env.norm_dist_by_vol
-        and env.num_trace_steps_in_window == 0
+        and window_ok
+        and ndbv_ok
     )
 
 
@@ -2011,6 +2358,11 @@ def fused_rollout(
                              - float(sim.init_cm_time)),
         max_vel_limit=float(sim.max_vox_vel_limit),
         sources=_source_statics(env),
+        tb=float(env.time_between_traces),
+        nexp=float(env.normalization_exponent),
+        min_growth_t=float(env.min_growth_time),
+        bal_slow=float(env.ballistic_slowdown_fact),
+        max_slow=float(env.max_slowdown_permitted),
     )
     flags = dict(
         gravity=bool(env.gravity_enabled and not env.fluid_environment),
@@ -2034,6 +2386,13 @@ def fused_rollout(
         use_growth_t=bool(body.using_growth_time),
         use_final_phase=bool(body.using_final_phase_offset),
         use_final_ad=bool(body.using_final_temp_amp_damp),
+        needle=bool(env.needle_in_haystack),
+        falling=bool(env.falling_prohibited),
+        ndbv=bool(env.norm_dist_by_vol),
+        window=int(env.num_trace_steps_in_window) > 0,
+        n_win=int(env.num_trace_steps_in_window),
+        ballistic=bool(state.devo is not None
+                       and int(env.num_trace_steps_in_window) > 0),
     )
     if sim.equilibrium_mode and state.ke_history is not None:
         stats = stats.at[:, _S_KE:_S_KE + 6].set(
@@ -2077,6 +2436,13 @@ def fused_rollout(
             ke_history=out_stats[:, _S_KE:_S_KE + 6].astype(
                 state.ke_history.dtype)
         )
+    if new_state.devo is not None:
+        dvt = state.devo.win_last.dtype
+        new_state = new_state.replace(devo=new_state.devo.replace(
+            win_last=out_stats[:, _S_WLAST].astype(dvt),
+            win_prev=out_stats[:, _S_WPREV].astype(dvt),
+            win_count=out_stats[:, _S_WCNT].astype(jnp.int32),
+        ))
     return new_state, outs
 
 
@@ -2173,6 +2539,11 @@ class FusedBatchRunner:
                                      - float(sim.init_cm_time)),
                 max_vel_limit=float(sim.max_vox_vel_limit),
                 sources=_source_statics(env),
+                tb=float(env.time_between_traces),
+                nexp=float(env.normalization_exponent),
+                min_growth_t=float(env.min_growth_time),
+                bal_slow=float(env.ballistic_slowdown_fact),
+                max_slow=float(env.max_slowdown_permitted),
             ).items())),
             flags=tuple(sorted(dict(
                 gravity=bool(env.gravity_enabled
@@ -2197,6 +2568,13 @@ class FusedBatchRunner:
                 use_growth_t=bool(body.using_growth_time),
                 use_final_phase=bool(body.using_final_phase_offset),
                 use_final_ad=bool(body.using_final_temp_amp_damp),
+                needle=bool(env.needle_in_haystack),
+                falling=bool(env.falling_prohibited),
+                ndbv=bool(env.norm_dist_by_vol),
+                window=int(env.num_trace_steps_in_window) > 0,
+                n_win=int(env.num_trace_steps_in_window),
+                ballistic=bool(state.devo is not None
+                               and int(env.num_trace_steps_in_window) > 0),
             ).items())),
             prec=prec,
         )

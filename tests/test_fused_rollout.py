@@ -696,8 +696,21 @@ def test_supports_rejects_featureful_configs():
     assert supports(body, sim.replace(volume_effects_enabled=True), env)
     assert supports(body, sim, env.replace(fluid_environment=True))
     assert supports(body, sim.replace(plasticity_enabled=True), env)
-    assert not supports(body, sim, env.replace(needle_in_haystack=True))
-    assert not supports(body, sim, env.replace(falling_prohibited=True))
+    # r4: needle / falling / NormDistByVol / windows are in-kernel now
+    assert supports(body, sim, env.replace(needle_in_haystack=True))
+    assert supports(body, sim, env.replace(falling_prohibited=True))
+    assert supports(body, sim, env.replace(norm_dist_by_vol=True,
+                                           time_between_traces=0.01))
+    assert supports(body, sim, env.replace(num_trace_steps_in_window=8,
+                                           time_between_traces=0.01))
+    # ...within the ring budget and only with a trace cadence
+    assert not supports(body, sim, env.replace(num_trace_steps_in_window=64,
+                                               time_between_traces=0.01))
+    assert not supports(body, sim, env.replace(num_trace_steps_in_window=8,
+                                               time_between_traces=0.0))
+    assert not supports(body, sim, env.replace(norm_dist_by_vol=True,
+                                               time_between_traces=0.0))
+    assert not supports(body, sim, env.replace(floor_limited=True))
     # fluid with a deformed-mesh drag system → jnp facet path only
     from evosoro_tpu.envs.drag import attach_mesh_drag
 
@@ -705,6 +718,6 @@ def test_supports_rejects_featureful_configs():
     assert not supports(body_mesh, sim, env.replace(fluid_environment=True))
     with pytest.raises(ValueError):
         fused_rollout(
-            batched, body, sim, env.replace(needle_in_haystack=True),
+            batched, body, sim, env.replace(floor_limited=True),
             num_steps=1, dt=dt, interpret=True,
         )
