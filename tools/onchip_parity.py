@@ -160,6 +160,46 @@ def _scenario_bc(rng):
     return body, SimParams(), EnvParams(temp_enabled=False), {}
 
 
+def _scenario_features(rng):
+    """r4 fitness-feature channels: needle + falling latch + NormDistByVol
+    accumulators + windows, all active at once."""
+    s = rng.integers(1, 5, size=(4, 4, 4)).astype(np.int32)
+    s[2, 2, 3] = 7  # needle
+    s[0, 0, 0] = 6  # a foot
+    body = build_body(s, palette_from_list(evosoro_default_palette()),
+                      phase_offset=rng.uniform(-1, 1, size=s.shape))
+    sim = SimParams(init_cm_time=0.0)
+    env = EnvParams(needle_in_haystack=True, falling_prohibited=True,
+                    norm_dist_by_vol=True, time_between_traces=0.0005,
+                    num_trace_steps_in_window=4)
+    # the falling latch / windows live in core.rollout's step_fn, not in
+    # raw sim_step scans — compare against the rollout-level reference
+    return body, sim, env, {"use_rollout": True}
+
+
+def _scenario_ballistic(rng):
+    """Ballistic devo: dynamic per-voxel devo state rebased in-kernel."""
+    s = np.zeros((3, 3, 2), dtype=np.int32)
+    s[:, :, 0] = 3
+    s[:, :, 1] = 1
+    L = 0.01
+    body = build_body(
+        s, palette_from_list(evosoro_default_palette()), lattice_dim=L,
+        phase_offset=rng.uniform(-1, 1, size=s.shape) * (s > 0),
+        initial_voxel_size=np.full(s.shape, L),
+        final_voxel_size=np.full(s.shape, 1.4 * L),
+        growth_time=np.full(s.shape, 0.02),
+        start_growth_time=np.full(s.shape, 0.002),
+    )
+    sim = SimParams(init_cm_time=0.001)
+    env = EnvParams(growth_amplitude=0.5, num_trace_steps_in_window=4,
+                    time_between_traces=0.001, norm_dist_by_vol=True,
+                    ballistic_slowdown_fact=1.0, max_slowdown_permitted=-0.5,
+                    min_growth_time=0.0)
+    st = init_state(body, ballistic_devo=True)
+    return body, sim, env, {"state": st, "use_rollout": True}
+
+
 SCENARIOS = {
     "default": _scenario_default,
     "collision": _scenario_collision,
@@ -170,6 +210,8 @@ SCENARIOS = {
     "plasticity": _scenario_plasticity,
     "mdl_data": _scenario_mdl_data,
     "bc_regions": _scenario_bc,
+    "fitness_features": _scenario_features,
+    "ballistic_devo": _scenario_ballistic,
 }
 
 
@@ -196,13 +238,25 @@ def main(check: bool = False):
             lambda x: jnp.broadcast_to(x, (BATCH,) + x.shape), state
         )
 
-        def one(s):
-            def step(s, _):
-                return sim_step(s, body, sim, env, dt), ()
-            s, _ = jax.lax.scan(step, s, None, length=STEPS)
-            return s
+        if kw.get("use_rollout"):
+            # features that live in core.rollout's step_fn (falling latch,
+            # trace windows, ballistic devo) need the rollout-level ref
+            from evosoro_tpu.core.rollout import rollout
 
-        ref = jax.jit(jax.vmap(one))(batched)
+            def one(s):
+                res = rollout(body, sim, env, num_steps=STEPS, dt=dt,
+                              state=s)
+                return res.final_state
+
+            ref = jax.jit(jax.vmap(one))(batched)
+        else:
+            def one(s):
+                def step(s, _):
+                    return sim_step(s, body, sim, env, dt), ()
+                s, _ = jax.lax.scan(step, s, None, length=STEPS)
+                return s
+
+            ref = jax.jit(jax.vmap(one))(batched)
         fused, stats = fused_rollout(batched, body, sim, env,
                                      num_steps=STEPS, dt=dt)
         pos_diff = float(np.abs(np.asarray(fused.pos)
