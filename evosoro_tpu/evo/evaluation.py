@@ -220,38 +220,9 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
     V = X * Y * Z
     Vp = -(-V // 128) * 128
 
-    scalars = dict(
-        L=float(lattice_dim),
-        slow_damping_z=float(sim_params.slow_damping_z),
-        bond_damping_z=float(sim_params.bond_damping_z),
-        col_damping_z=float(sim_params.col_damping_z),
-        dt_frac=float(sim_params.dt_frac),
-        freeze=float(sim_params.mid_life_freeze_time),
-        freeze_middle=0.5 * (float(sim_params.stop_condition_value)
-                             - float(sim_params.init_cm_time)),
-        max_vel_limit=float(sim_params.max_vox_vel_limit),
-        sources=fr._source_statics(env_flags_src),
-        tb=float(env_flags_src.time_between_traces),
-        nexp=float(env_flags_src.normalization_exponent),
-        min_growth_t=float(env_flags_src.min_growth_time),
-        bal_slow=float(env_flags_src.ballistic_slowdown_fact),
-        max_slow=float(env_flags_src.max_slowdown_permitted),
-    )
+    scalars = fr.kernel_scalars(lattice_dim, sim_params, env_flags_src)
     flags = dict(
-        gravity=bool(env_flags_src.gravity_enabled
-                     and not env_flags_src.fluid_environment),
-        floor=bool(env_flags_src.floor_enabled
-                   and not env_flags_src.fluid_environment),
-        sticky=bool(env_flags_src.sticky_floor),
-        temp=bool(env_flags_src.temp_enabled and env_flags_src.vary_temp_enabled),
-        temp_enabled=bool(env_flags_src.temp_enabled),
-        vary_temp=bool(env_flags_src.vary_temp_enabled),
-        volume=bool(sim_params.volume_effects_enabled),
-        fluid=bool(env_flags_src.fluid_environment),
-        equilibrium=bool(sim_params.equilibrium_mode),
-        freeze_on=float(sim_params.mid_life_freeze_time) > 0.0,
-        max_vel=bool(sim_params.max_velocity_enabled),
-        plasticity=bool(sim_params.plasticity_enabled),
+        fr.kernel_env_flags(sim_params, env_flags_src),
         # bilinear palettes run the in-kernel nonlinear stress path
         # (MDL_DATA palettes are routed to the jnp evaluator by supports())
         nonlinear=bool(np.any(np.asarray(palette.mat_model) == 2)),
@@ -262,11 +233,6 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         use_growth_t="growth_time" in field_names,
         use_final_phase="final_phase_offset" in field_names,
         use_final_ad="final_temp_amp_damp" in field_names,
-        needle=bool(env_flags_src.needle_in_haystack),
-        falling=bool(env_flags_src.falling_prohibited),
-        ndbv=bool(env_flags_src.norm_dist_by_vol),
-        window=int(env_flags_src.num_trace_steps_in_window) > 0,
-        n_win=int(env_flags_src.num_trace_steps_in_window),
         ballistic=bool(int(env_flags_src.num_trace_steps_in_window) > 0
                        and "final_voxel_size" in field_names),
     )

@@ -1559,9 +1559,11 @@ def _make_kernel(
                         term = _vol_norm((cmy_new - pcmy) * (1.0 / L),
                                          vol_new, pvol)
                         nd = nd + jnp.where(addt, term, 0.0)
-                        # afterlife-regime intervals: both samples past the
-                        # robot's stop time
-                        reg = (t_new > stop_t) & (lasttr > stop_t)
+                        # afterlife-regime intervals: both samples past
+                        # the LIFETIME end (core/rollout.py:573 uses
+                        # sim.stop_condition_value, not the total stop)
+                        scv = sc["sc_value"]
+                        reg = (t_new > scv) & (lasttr > scv)
                         ndrg = ndrg + jnp.where(addt & reg, term, 0.0)
                         if flags.get("freeze_on"):
                             # frozen-window mask (core/rollout.py:575-580 —
@@ -2121,6 +2123,59 @@ def _source_statics(env: EnvParams):
     return tuple(out)
 
 
+def kernel_scalars(L, sim: SimParams, env: EnvParams) -> dict:
+    """The design-time float constants baked into the kernel trace. ONE
+    definition shared by fused_rollout / FusedBatchRunner / the evaluator —
+    a diverging copy here is exactly how wrong-physics cache bugs happen
+    (r3 advisor finding)."""
+    return dict(
+        L=float(L),
+        slow_damping_z=float(sim.slow_damping_z),
+        bond_damping_z=float(sim.bond_damping_z),
+        col_damping_z=float(sim.col_damping_z),
+        dt_frac=float(sim.dt_frac),
+        freeze=float(sim.mid_life_freeze_time),
+        freeze_middle=0.5 * (float(sim.stop_condition_value)
+                             - float(sim.init_cm_time)),
+        max_vel_limit=float(sim.max_vox_vel_limit),
+        sources=_source_statics(env),
+        # lifetime end (SC_MAX_SIM_TIME value) — the afterlife-regime
+        # boundary; the per-robot _S_STOP channel is the TOTAL rollout end
+        # (lifetime + afterlife), a different time when afterlife > 0
+        sc_value=float(sim.stop_condition_value),
+        tb=float(env.time_between_traces),
+        nexp=float(env.normalization_exponent),
+        min_growth_t=float(env.min_growth_time),
+        bal_slow=float(env.ballistic_slowdown_fact),
+        max_slow=float(env.max_slowdown_permitted),
+    )
+
+
+def kernel_env_flags(sim: SimParams, env: EnvParams) -> dict:
+    """The env/sim-derived static feature flags. Callers add the
+    body/buffer-derived entries (use_*, nonlinear, mdl_data, bc, collision,
+    ballistic)."""
+    return dict(
+        gravity=bool(env.gravity_enabled and not env.fluid_environment),
+        floor=bool(env.floor_enabled and not env.fluid_environment),
+        sticky=bool(env.sticky_floor),
+        temp=bool(env.temp_enabled and env.vary_temp_enabled),
+        temp_enabled=bool(env.temp_enabled),
+        vary_temp=bool(env.vary_temp_enabled),
+        volume=bool(sim.volume_effects_enabled),
+        fluid=bool(env.fluid_environment),
+        equilibrium=bool(sim.equilibrium_mode),
+        freeze_on=float(sim.mid_life_freeze_time) > 0.0,
+        max_vel=bool(sim.max_velocity_enabled),
+        plasticity=bool(sim.plasticity_enabled),
+        needle=bool(env.needle_in_haystack),
+        falling=bool(env.falling_prohibited),
+        ndbv=bool(env.norm_dist_by_vol),
+        window=int(env.num_trace_steps_in_window) > 0,
+        n_win=int(env.num_trace_steps_in_window),
+    )
+
+
 def _body_has_bcs(body: VoxelBody) -> bool:
     return bool(
         np.any(np.asarray(body.dof_fixed) != 0)
@@ -2347,37 +2402,10 @@ def fused_rollout(
             control_sequence.astype(dtype), Vp
         )  # (B, K, Vp)
 
-    scalars = dict(
-        L=float(body.nominal_size),
-        slow_damping_z=float(sim.slow_damping_z),
-        bond_damping_z=float(sim.bond_damping_z),
-        col_damping_z=float(sim.col_damping_z),
-        dt_frac=float(sim.dt_frac),
-        freeze=float(sim.mid_life_freeze_time),
-        freeze_middle=0.5 * (float(sim.stop_condition_value)
-                             - float(sim.init_cm_time)),
-        max_vel_limit=float(sim.max_vox_vel_limit),
-        sources=_source_statics(env),
-        tb=float(env.time_between_traces),
-        nexp=float(env.normalization_exponent),
-        min_growth_t=float(env.min_growth_time),
-        bal_slow=float(env.ballistic_slowdown_fact),
-        max_slow=float(env.max_slowdown_permitted),
-    )
+    scalars = kernel_scalars(body.nominal_size, sim, env)
     flags = dict(
-        gravity=bool(env.gravity_enabled and not env.fluid_environment),
-        floor=bool(env.floor_enabled and not env.fluid_environment),
-        sticky=bool(env.sticky_floor),
-        temp=bool(env.temp_enabled and env.vary_temp_enabled),
-        temp_enabled=bool(env.temp_enabled),
-        vary_temp=bool(env.vary_temp_enabled),
-        volume=bool(sim.volume_effects_enabled),
-        fluid=bool(env.fluid_environment),
-        equilibrium=bool(sim.equilibrium_mode),
-        freeze_on=float(sim.mid_life_freeze_time) > 0.0,
-        max_vel=bool(sim.max_velocity_enabled),
+        kernel_env_flags(sim, env),
         nonlinear=not bool(body.all_linear),
-        plasticity=bool(sim.plasticity_enabled),
         mdl_data=ss_packed is not None,
         bc=bc_packed is not None,
         collision=collision_packed is not None,
@@ -2386,11 +2414,6 @@ def fused_rollout(
         use_growth_t=bool(body.using_growth_time),
         use_final_phase=bool(body.using_final_phase_offset),
         use_final_ad=bool(body.using_final_temp_amp_damp),
-        needle=bool(env.needle_in_haystack),
-        falling=bool(env.falling_prohibited),
-        ndbv=bool(env.norm_dist_by_vol),
-        window=int(env.num_trace_steps_in_window) > 0,
-        n_win=int(env.num_trace_steps_in_window),
         ballistic=bool(state.devo is not None
                        and int(env.num_trace_steps_in_window) > 0),
     )
@@ -2528,38 +2551,11 @@ class FusedBatchRunner:
             batch_block=batch_block,
             n_knots=num_knots,
             interpret=interpret,
-            scalars=tuple(sorted(dict(
-                L=float(body.nominal_size),
-                slow_damping_z=float(sim.slow_damping_z),
-                bond_damping_z=float(sim.bond_damping_z),
-                col_damping_z=float(sim.col_damping_z),
-                dt_frac=float(sim.dt_frac),
-                freeze=float(sim.mid_life_freeze_time),
-                freeze_middle=0.5 * (float(sim.stop_condition_value)
-                                     - float(sim.init_cm_time)),
-                max_vel_limit=float(sim.max_vox_vel_limit),
-                sources=_source_statics(env),
-                tb=float(env.time_between_traces),
-                nexp=float(env.normalization_exponent),
-                min_growth_t=float(env.min_growth_time),
-                bal_slow=float(env.ballistic_slowdown_fact),
-                max_slow=float(env.max_slowdown_permitted),
-            ).items())),
+            scalars=tuple(sorted(
+                kernel_scalars(body.nominal_size, sim, env).items())),
             flags=tuple(sorted(dict(
-                gravity=bool(env.gravity_enabled
-                             and not env.fluid_environment),
-                floor=bool(env.floor_enabled and not env.fluid_environment),
-                sticky=bool(env.sticky_floor),
-                temp=bool(env.temp_enabled and env.vary_temp_enabled),
-                temp_enabled=bool(env.temp_enabled),
-                vary_temp=bool(env.vary_temp_enabled),
-                volume=bool(sim.volume_effects_enabled),
-                fluid=bool(env.fluid_environment),
-                equilibrium=bool(sim.equilibrium_mode),
-                freeze_on=float(sim.mid_life_freeze_time) > 0.0,
-                max_vel=bool(sim.max_velocity_enabled),
+                kernel_env_flags(sim, env),
                 nonlinear=not bool(body.all_linear),
-                plasticity=bool(sim.plasticity_enabled),
                 mdl_data=self.ss_packed is not None,
                 bc=self.bc_packed is not None,
                 collision=self.collision_packed is not None,
@@ -2568,11 +2564,6 @@ class FusedBatchRunner:
                 use_growth_t=bool(body.using_growth_time),
                 use_final_phase=bool(body.using_final_phase_offset),
                 use_final_ad=bool(body.using_final_temp_amp_damp),
-                needle=bool(env.needle_in_haystack),
-                falling=bool(env.falling_prohibited),
-                ndbv=bool(env.norm_dist_by_vol),
-                window=int(env.num_trace_steps_in_window) > 0,
-                n_win=int(env.num_trace_steps_in_window),
                 ballistic=bool(state.devo is not None
                                and int(env.num_trace_steps_in_window) > 0),
             ).items())),

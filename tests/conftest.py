@@ -18,6 +18,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: the physics step graph is large and this box is
-# small; caching makes repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# small; caching makes repeat test runs fast. The cache dir is keyed on a
+# host CPU fingerprint: XLA:CPU AOT executables are NOT machine-portable
+# (jax's cache key ignores host features), and loading one compiled on a
+# different machine type SEGFAULTS mid-suite ("+prefer-no-scatter is not
+# supported on the host machine ... SIGILL" — hit in r4 when the sandbox
+# moved hosts between rounds).
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+    _host = hashlib.md5(_flags.encode()).hexdigest()[:8]
+except OSError:
+    _host = "generic"
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{_host}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

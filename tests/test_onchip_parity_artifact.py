@@ -13,7 +13,7 @@ ARTIFACT = Path(__file__).resolve().parents[1] / "ONCHIP_PARITY.json"
 
 # scenarios whose dynamics are damped/quasi-static: rounding differences do
 # not amplify (Lyapunov rate < 1), so the two paths must agree tightly
-QUIET = {"collision", "volume_effects", "mdl_data"}
+QUIET = {"collision", "volume_effects", "mdl_data", "ballistic_devo"}
 QUIET_BOUND = 5e-7
 # chaotic dynamic scenarios: one-ulp seeds amplify at ~x6/step and saturate
 # near the local oscillation amplitude (tools/onchip_parity.py docstring)
