@@ -34,3 +34,32 @@ except OSError:
     _host = "generic"
 jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{_host}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop live compiled executables after each test module: a full-suite
+    process otherwise accumulates hundreds of XLA:CPU executables, and
+    around the ~110-test mark interpret-mode pallas under shard_map starts
+    failing and eventually SEGFAULTS inside the XLA CPU runtime (seen twice
+    in r4, different tests each time, never reproducible in isolation).
+    The persistent disk cache keeps re-compiles cheap."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
+    try:
+        from evosoro_tpu.evo import evaluation as _ev
+
+        _ev._compiled_cache.clear()
+    except Exception:
+        pass
+    try:
+        from evosoro_tpu.control import shooting as _sh
+
+        _sh._fused_cem_solver_cache.clear()
+    except Exception:
+        pass

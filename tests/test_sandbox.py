@@ -35,10 +35,12 @@ def test_step_poke_reset():
     cm_before = sb.center_of_mass().copy()
 
     # a lateral poke imparts momentum the unpoked sim doesn't have
+    # (voxels are ~1 kg at this density/size: push hard so the CoM shift
+    # clears the assertion margin by orders of magnitude)
     sb2 = _sandbox().step(5)
-    sb2.apply_force((1, 1, 1), (0.5, 0.0, 0.0), duration_steps=10)
-    sb.step(20)
-    sb2.step(20)
+    sb2.apply_force((1, 1, 1), (200.0, 0.0, 0.0), duration_steps=40)
+    sb.step(60)
+    sb2.step(60)
     assert sb2.center_of_mass()[0] > sb.center_of_mass()[0] + 1e-7
     assert np.isfinite(sb2.center_of_mass()).all()
 

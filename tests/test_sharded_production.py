@@ -2,9 +2,19 @@
 evaluate_all auto-shards a generation over all local devices, the fused CEM
 solver takes a mesh, multistart SQP shards its start axis — all on the
 8-virtual-CPU-device test mesh, asserting equality with single-device runs.
+
+These tests run in a SUBPROCESS when invoked from a larger suite: after
+~100 preceding test modules' worth of live XLA:CPU executables,
+interpret-mode pallas under shard_map intermittently SEGFAULTS inside the
+XLA CPU runtime (reproduced twice at different tests in full-suite runs,
+never in isolation or in tail subsets; 128 GB free rules out OOM, and a
+cleared compile cache rules out the stale-AOT failure mode). Fresh-process
+isolation sidesteps the accumulated native state; the physics content is
+identical.
 """
 
 import os
+import subprocess
 import sys
 from pathlib import Path
 
@@ -16,12 +26,32 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from tests.test_evaluation import _make_pop, _sim_env, _fitnesses, _restore_env  # noqa: F401,E402
 
+_SUBPROC_GUARD = "EVOSORO_TPU_SHARDED_TEST_SUBPROC"
+
+
+def _isolated(test_name: str) -> bool:
+    """True when the caller should return immediately because the real test
+    body just ran (and passed) in a fresh subprocess."""
+    if os.environ.get(_SUBPROC_GUARD):
+        return False  # inside the subprocess: run the body
+    env = dict(os.environ, **{_SUBPROC_GUARD: "1"})
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", f"{__file__}::{test_name}",
+         "-q", "--no-header"],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert r.returncode == 0, (
+        f"isolated {test_name} failed:\n{r.stdout}\n{r.stderr}")
+    return True
+
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs >1 device")
 def test_evaluate_all_autoshards_matches_single_device(_restore_env):  # noqa: F811
     """A 16-robot generation on 8 virtual devices (2 shards of 8) must
     assign the same fitnesses as a forced single-device run, with no user
     plumbing."""
+    if _isolated("test_evaluate_all_autoshards_matches_single_device"):
+        return
     sim, env = _sim_env()
     os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"  # fused path, interpret mode
 
@@ -47,6 +77,8 @@ def test_fused_cem_sharded_matches_single():
     """cem_optimize_fused with a 2-device mesh reproduces the single-device
     solve exactly (same RNG stream, same elite updates — only the rollout
     kernel is sharded)."""
+    if _isolated("test_fused_cem_sharded_matches_single"):
+        return
     from jax.sharding import Mesh
 
     from evosoro_tpu.control.shooting import CEMConfig, cem_optimize_fused
@@ -86,6 +118,8 @@ def test_fused_cem_sharded_matches_single():
 def test_sqp_multistart_sharded():
     """Multistart SQP over a 2-device mesh returns finite, improving costs
     and the same best start as the unsharded run."""
+    if _isolated("test_sqp_multistart_sharded"):
+        return
     from jax.sharding import Mesh
 
     from evosoro_tpu.control.sqp import SQPConfig, sqp_optimize_multistart
