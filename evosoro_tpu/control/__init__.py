@@ -21,7 +21,15 @@ from evosoro_tpu.control.shooting import (  # noqa: F401
     CEMConfig,
     MPCController,
     cem_optimize,
+    cem_optimize_fused,
     grad_optimize,
     locomotion_cost,
+    make_fused_cem_solver,
     mpc_run,
+)
+from evosoro_tpu.control.sqp import (  # noqa: F401
+    SQPConfig,
+    locomotion_sqp,
+    sqp_optimize,
+    sqp_optimize_multistart,
 )
