@@ -120,6 +120,19 @@ def _spec_tree(tree, axis: str):
     return jax.tree_util.tree_map_with_path(spec, tree)
 
 
+def _pvary(x, axis):
+    """Mark a replicated value device-varying. jax >= 0.8 renames
+    jax.lax.pvary to jax.lax.pcast(..., to='varying'); use whichever this
+    jax provides without tripping the deprecation."""
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        try:
+            return pcast(x, axis, to="varying")
+        except TypeError:
+            pass
+    return jax.lax.pvary(x, axis)
+
+
 def _halo_extend(tree, axes, axis_name: str, n_dev: int, w: int = 1):
     """Concatenate each array with its X-neighbors' `w` boundary slabs:
     local (Xl, ...) -> (Xl+2w, ...). Unsharded leaves pass through.
@@ -225,14 +238,14 @@ def spatial_rollout(
         # shard-local data inside the scan — mark them device-varying so the
         # scan carry types line up (pmean/pmax below restores replication)
         local_state = local_state.replace(
-            total_strain_e=jax.lax.pvary(local_state.total_strain_e, axis),
-            max_vox_vel=jax.lax.pvary(local_state.max_vox_vel, axis),
-            ke_history=jax.lax.pvary(local_state.ke_history, axis),
-            cur_dt=(jax.lax.pvary(local_state.cur_dt, axis)
+            total_strain_e=_pvary(local_state.total_strain_e, axis),
+            max_vox_vel=_pvary(local_state.max_vox_vel, axis),
+            ke_history=_pvary(local_state.ke_history, axis),
+            cur_dt=(_pvary(local_state.cur_dt, axis)
                     if local_state.cur_dt is not None else None),
             # time advances by the (pmax-agreed) dynamic dt under volume
             # effects, which marks it varying inside the scan
-            time=(jax.lax.pvary(local_state.time, axis)
+            time=(_pvary(local_state.time, axis)
                   if local_state.cur_dt is not None else local_state.time),
         )
 
@@ -267,8 +280,8 @@ def spatial_rollout(
             # the dynamic-dt time makes capture flags varying as well
             carry0 = (
                 local_state,
-                jax.lax.pvary(local_cm(local_state), axis),
-                jax.lax.pvary(jnp.zeros((), bool), axis),
+                _pvary(local_cm(local_state), axis),
+                _pvary(jnp.zeros((), bool), axis),
             )
         else:
             carry0 = (local_state, local_cm(local_state), jnp.zeros((), bool))
