@@ -380,6 +380,24 @@ def make_batched_evaluator(palette, grid_shape, num_steps, field_names,
             final_cm=res.final_cm,
             ini_cm=res.ini_cm,
             final_time=res.final_state.time,
+            # full fitness surface so featureful experiments (needle,
+            # falling, NormDistByVol, windows, afterlife) work on this
+            # fallback path too, mirroring the fused packed_metrics keys
+            final_dist=res.final_dist,
+            norm_regime_dist=res.norm_regime_dist,
+            norm_frozen_dist=res.norm_frozen_dist,
+            anterior_dist=res.anterior_dist,
+            posterior_dist=res.posterior_dist,
+            anterior_y=res.anterior_y,
+            posterior_y=res.posterior_y,
+            end_of_life_posterior_y=res.end_of_life_posterior_y,
+            fall_adj_post_y=res.fall_adj_post_y,
+            num_touching_floor=res.num_touching_floor,
+            num_non_feet_touching_floor=res.num_non_feet_touching_floor,
+            lifetime=res.lifetime,
+            found_needle=res.found_needle,
+            push_dist=res.push_dist,
+            norm_window_dist=res.norm_window_dist,
         )
 
     in_axes = [0, 0, None, 0, None]
