@@ -195,3 +195,58 @@ def test_norm_dist_by_vol_online_accumulation():
         stop_time=float(sim.stop_condition_value))
     np.testing.assert_allclose(float(stats.norm_dist_by_vol[0]), nd,
                                rtol=2e-4, atol=1e-7)
+
+
+def test_evaluator_paths_agree_on_needle_falling():
+    """The EVALUATOR wiring of the r4 feature flags (make_fused_evaluator ->
+    kernel flags -> packed_metrics) produces the same extended fitness
+    surface as the jnp batched evaluator for a needle + falling-prohibited
+    experiment (features whose semantics are cadence-independent)."""
+    from evosoro_tpu.core.materials import palette_from_list
+    from evosoro_tpu.core.types import SimParams, evosoro_default_palette
+    from evosoro_tpu.evo.evaluation import (
+        make_batched_evaluator, make_fused_evaluator,
+    )
+
+    rng = np.random.default_rng(5)
+    B, n = 8, 3
+    structures = np.zeros((B, n, n, 2), dtype=np.int32)
+    structures[:, :, :, 0] = 3
+    structures[:, :, :, 1] = 1
+    structures[:, 1, 1, 1] = 7  # needle voxel
+    structures[:, 0, 0, 0] = 6  # one foot (latch cannot trip: 1 < others)
+    phases = rng.uniform(-1, 1, size=(B, n, n, 2))
+
+    pal = palette_from_list(evosoro_default_palette())
+    sim = SimParams(init_cm_time=0.001, stop_condition_value=1.0)
+    env = EnvParams(needle_in_haystack=True, falling_prohibited=True,
+                    lattice_dim=L)
+    steps = 40
+    stop = 1.0
+
+    env_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32), (B,)), env)
+
+    fused = make_fused_evaluator(
+        pal, (n, n, 2), steps, ("phase_offset",), L, sim, env,
+        interpret=True)
+    m_fused = fused(jnp.asarray(structures),
+                    {"phase_offset": jnp.asarray(phases, jnp.float32)},
+                    None, env_b, stop)
+
+    jnp_fn = make_batched_evaluator(pal, (n, n, 2), steps,
+                                    ("phase_offset",), ("all",))
+    m_jnp = jnp_fn(jnp.asarray(structures),
+                   {"phase_offset": jnp.asarray(phases)},
+                   sim, env_b, stop)
+
+    # fused runs f32 on-chip layouts vs the f64 jnp path; distances are in
+    # lattice units, so atol 1e-4 = one micron at L=0.01
+    for key in ("norm_final_dist", "push_dist", "end_of_life_posterior_y"):
+        np.testing.assert_allclose(
+            np.asarray(m_fused[key]), np.asarray(m_jnp[key]),
+            rtol=3e-3, atol=1e-4, err_msg=key)
+    np.testing.assert_array_equal(
+        np.asarray(m_fused["found_needle"]) > 0.5,
+        np.asarray(m_jnp["found_needle"]) > 0.5)
+    assert not np.asarray(m_fused["diverged"]).any()
