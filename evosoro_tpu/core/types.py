@@ -94,6 +94,25 @@ class SimParams:
     collision_horizon: Any = 2.0
 
 
+@dataclasses.dataclass(frozen=True)
+class NeuralNetParams:
+    """Dormant ``<NeuralNet>`` environment block.
+
+    The reference parses these seven tags (VX_Environment.cpp:197-206) and
+    never reads them anywhere in the engine — they are record-keeping only,
+    like the per-voxel PID fields.  We parse-and-carry them the same way so
+    a VXA round-trip preserves the block byte-for-byte.
+    """
+
+    updates_per_temp_cycle: float = 0.0
+    touch_sensors_enabled: bool = False
+    proprioception_sensors_enabled: bool = False
+    pacemaker_sensors_enabled: bool = False
+    num_hidden_neurons_per_layer: int = 0
+    num_hidden_layers: int = 0
+    output_smoothing: float = 0.0
+
+
 @struct.dataclass
 class EnvParams:
     """Environment: gravity, floor, thermal actuation drive, fluid.
@@ -142,6 +161,9 @@ class EnvParams:
     # environmental sources (envs.sources.EnvSources pytree or None;
     # reference: VX_Source, VX_Environment.h:40-130)
     sources: Any = None
+    # dormant <NeuralNet> block (NeuralNetParams or None); parsed and
+    # serialized, never read by the engine — matching the reference exactly
+    neural_net: Any = struct.field(pytree_node=False, default=None)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -650,6 +650,33 @@ def load_vxa(path) -> VXADocument:
             ))
         sources = make_sources(entries)
 
+    # dormant <NeuralNet> block: parse-and-carry only, exactly as the
+    # reference does (VX_Environment.cpp:197-206 — no engine reader exists)
+    neural_net = None
+    nn_el = env_el.find("NeuralNet") if env_el is not None else None
+    if nn_el is not None:
+        from evosoro_tpu.core.types import NeuralNetParams
+
+        neural_net = NeuralNetParams(
+            updates_per_temp_cycle=_text(
+                nn_el, "NeuralNetUpdatesPerTempCycle", 0.0
+            ),
+            touch_sensors_enabled=_text(
+                nn_el, "TouchSensorsEnabled", False, cast=bool
+            ),
+            proprioception_sensors_enabled=_text(
+                nn_el, "ProprioceptionSensorsEnabled", False, cast=bool
+            ),
+            pacemaker_sensors_enabled=_text(
+                nn_el, "PacemakerSensorsEnabled", False, cast=bool
+            ),
+            num_hidden_neurons_per_layer=_text(
+                nn_el, "NumHiddenNeuronsPerLayer", 0, cast=int
+            ),
+            num_hidden_layers=_text(nn_el, "NumHiddenLayers", 0, cast=int),
+            output_smoothing=_text(nn_el, "OutputSmoothing", 0.0),
+        )
+
     env = EnvParams(
         grav_acc=_text(grav, "GravAcc", -9.81),
         floor_slope=_text(grav, "FloorSlope", 0.0),
@@ -674,6 +701,7 @@ def load_vxa(path) -> VXADocument:
         ),
         floor_radius=floor_radius if floor_radius is not None else 0.0,
         sources=sources,
+        neural_net=neural_net,
         aggregate_drag_coefficient=_text(
             env_el, "AggregateDragCoefficient", 0.0
         ),
@@ -883,6 +911,27 @@ def write_vxa(
             )
         sources_block = "<Sources>\n" + "\n".join(rows) + "\n</Sources>\n"
 
+    neural_block = ""
+    nn = getattr(env, "neural_net", None)
+    if nn is not None:
+        neural_block = (
+            "<NeuralNet>\n"
+            f"<NeuralNetUpdatesPerTempCycle>{nn.updates_per_temp_cycle}"
+            "</NeuralNetUpdatesPerTempCycle>\n"
+            f"<TouchSensorsEnabled>{int(nn.touch_sensors_enabled)}"
+            "</TouchSensorsEnabled>\n"
+            f"<ProprioceptionSensorsEnabled>"
+            f"{int(nn.proprioception_sensors_enabled)}"
+            "</ProprioceptionSensorsEnabled>\n"
+            f"<PacemakerSensorsEnabled>{int(nn.pacemaker_sensors_enabled)}"
+            "</PacemakerSensorsEnabled>\n"
+            f"<NumHiddenNeuronsPerLayer>{nn.num_hidden_neurons_per_layer}"
+            "</NumHiddenNeuronsPerLayer>\n"
+            f"<NumHiddenLayers>{nn.num_hidden_layers}</NumHiddenLayers>\n"
+            f"<OutputSmoothing>{nn.output_smoothing}</OutputSmoothing>\n"
+            "</NeuralNet>\n"
+        )
+
     trace_tags = ""
     if save_traces:
         trace_tags = (
@@ -970,7 +1019,7 @@ def write_vxa(
 <VaryTempEnabled>{int(env.vary_temp_enabled)}</VaryTempEnabled>
 <TempPeriod>{env.temp_period}</TempPeriod>
 </Thermal>
-<GrowthAmplitude>{env.growth_amplitude}</GrowthAmplitude>
+{neural_block}<GrowthAmplitude>{env.growth_amplitude}</GrowthAmplitude>
 <MinGrowthTime>{env.min_growth_time}</MinGrowthTime>
 <BallisticSlowdownFact>{env.ballistic_slowdown_fact}</BallisticSlowdownFact>
 <MaxSlowdownPermitted>{env.max_slowdown_permitted}</MaxSlowdownPermitted>

@@ -146,3 +146,50 @@ def test_roundtrip_preserves_structure(tmp_path):
     for tag, arr in doc.voxel_arrays.items():
         assert tag in doc2.voxel_arrays
         assert np.allclose(arr, doc2.voxel_arrays[tag], atol=1e-6)
+
+
+def test_neural_net_block_roundtrip(tmp_path):
+    """Dormant <NeuralNet> env params are parsed and re-serialized.
+
+    The reference parses these seven tags (VX_Environment.cpp:197-206) and
+    never reads them in the engine; we carry them the same way.
+    """
+    from evosoro_tpu.core.types import evosoro_default_palette
+    from evosoro_tpu.io import write_vxa
+
+    ids = np.ones((2, 2, 2), dtype=np.int32)
+    p = tmp_path / "nn.vxa"
+    write_vxa(str(p), ids, evosoro_default_palette())
+    txt = p.read_text().replace(
+        "</Thermal>",
+        "</Thermal>\n<NeuralNet>\n"
+        "<NeuralNetUpdatesPerTempCycle>8.0</NeuralNetUpdatesPerTempCycle>\n"
+        "<TouchSensorsEnabled>1</TouchSensorsEnabled>\n"
+        "<ProprioceptionSensorsEnabled>0</ProprioceptionSensorsEnabled>\n"
+        "<PacemakerSensorsEnabled>1</PacemakerSensorsEnabled>\n"
+        "<NumHiddenNeuronsPerLayer>5</NumHiddenNeuronsPerLayer>\n"
+        "<NumHiddenLayers>2</NumHiddenLayers>\n"
+        "<OutputSmoothing>0.25</OutputSmoothing>\n"
+        "</NeuralNet>",
+    )
+    p.write_text(txt)
+    doc = load_vxa(str(p))
+    nn = doc.env.neural_net
+    assert nn is not None
+    assert nn.updates_per_temp_cycle == 8.0
+    assert nn.touch_sensors_enabled is True
+    assert nn.proprioception_sensors_enabled is False
+    assert nn.pacemaker_sensors_enabled is True
+    assert nn.num_hidden_neurons_per_layer == 5
+    assert nn.num_hidden_layers == 2
+    assert nn.output_smoothing == 0.25
+
+    out = tmp_path / "nn_rt.vxa"
+    write_vxa(str(out), doc.structure, materials=doc.materials,
+              lattice_dim=doc.lattice_dim, sim=doc.sim, env=doc.env)
+    doc2 = load_vxa(str(out))
+    assert doc2.env.neural_net == nn
+    # absent block stays absent
+    p0 = tmp_path / "plain.vxa"
+    write_vxa(str(p0), ids, evosoro_default_palette())
+    assert load_vxa(str(p0)).env.neural_net is None
