@@ -109,6 +109,7 @@ class Env(VoxCadParams):
         fluid_environment=0,
         aggregate_drag_coefficient=0.0,
         drag_model="mesh",
+        materials=None,
     ):
         super().__init__()
         self.sub_groups = ["Fixed_Regions", "Forced_Regions", "Gravity", "Thermal"]
@@ -135,6 +136,10 @@ class Env(VoxCadParams):
         # fused kernel's exposed-face approximation (~10x faster;
         # DRAGDIV.json quantifies the divergence + fitness-rank agreement)
         self.drag_model = drag_model
+        # full-palette override (list of core.types.Material); the hook for
+        # custom material-model experiments (bilinear/MDL_DATA). None keeps
+        # the canonical 7-material palette parameterized by *_stiffness.
+        self.materials = materials
 
     def to_env_params(self) -> EnvParams:
         # ad-hoc add_param() attributes become first-class EnvParams fields

@@ -220,12 +220,17 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
     V = X * Y * Z
     Vp = -(-V // 128) * 128
 
+    # MDL_DATA palettes stream per-individual point tables as an optional
+    # (B, 2P+3, Vp) kernel input, mirroring the bilinear/collision streaming
+    # (reference honors MDL_DATA in every sim: VX_Object.cpp:1472-1535)
+    has_mdl = palette.ss_strain is not None
+
     scalars = fr.kernel_scalars(lattice_dim, sim_params, env_flags_src)
     flags = dict(
         fr.kernel_env_flags(sim_params, env_flags_src),
-        # bilinear palettes run the in-kernel nonlinear stress path
-        # (MDL_DATA palettes are routed to the jnp evaluator by supports())
-        nonlinear=bool(np.any(np.asarray(palette.mat_model) == 2)),
+        # bilinear/MDL_DATA palettes run the in-kernel nonlinear stress path
+        nonlinear=bool(np.any(np.asarray(palette.mat_model) >= 2)),
+        mdl_data=has_mdl,
         # devo code paths follow which per-voxel fields the genome evolves
         # (build_body sets the matching using_* statics from the same kwargs)
         use_init_size="initial_voxel_size" in field_names,
@@ -270,16 +275,18 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         row = row.at[fr._S_GAMP].set(q32(env1.growth_amplitude))
         row = row.at[fr._S_DRAGC].set(q32(env1.aggregate_drag_coefficient))
         row = row.at[fr._S_KE:fr._S_KE + 6].set(-1.0)
-        return sp, bp, row
+        if has_mdl:
+            return sp, bp, row, fr.pack_ss_tables(body, Vp)[0]
+        return sp, bp, row, jnp.zeros((0, Vp), jnp.float32)
 
     flags["collision"] = bool(with_collision)
 
     # measured on-chip: wider batch blocks gain only ~3% even for 1-2-tile
     # bodies (the per-step op chain pipelines across grid programs), while
     # padding small pops to wider blocks costs real work — keep 8
-    def _kernel_call(sp, bp, rows, collision_packed):
+    def _kernel_call(sp, bp, rows, collision_packed, ss_packed=None):
         return fr._fused_call(
-            sp, bp, rows, None, collision_packed,
+            sp, bp, rows, None, collision_packed, ss_packed,
             num_steps=num_steps,
             grid_shape=grid_shape,
             batch_block=8,
@@ -300,8 +307,8 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         ax = mesh.axis_names[0]
         spec = lambda x: P(ax, *([None] * (x.ndim - 1)))  # noqa: E731
 
-        def _kernel_sharded(sp, bp, rows, collision_packed):
-            args = (sp, bp, rows, collision_packed)
+        def _kernel_sharded(sp, bp, rows, collision_packed, ss_packed=None):
+            args = (sp, bp, rows, collision_packed, ss_packed)
             in_specs = jax.tree_util.tree_map(spec, args)
             out_specs = (spec(sp), spec(rows))
             return shard_map(
@@ -316,10 +323,11 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
     @jax.jit
     def fn(structures, voxel_fields, _sim_unused, env_batch, stop_time,
            collision_packed=None):
-        sp, bp, rows = jax.vmap(
+        sp, bp, rows, ssp = jax.vmap(
             lambda s, v, e: pack_one(s, v, e, stop_time)
         )(structures, voxel_fields, env_batch)
-        out_state, out_stats = kernel_dispatch(sp, bp, rows, collision_packed)
+        out_state, out_stats = kernel_dispatch(
+            sp, bp, rows, collision_packed, ssp if has_mdl else None)
         return fr.packed_metrics(
             out_state, bp, out_stats, lattice_dim,
             ndbv=flags["ndbv"], falling=flags["falling"],
@@ -672,10 +680,6 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
     if with_collision:
         probe_body = probe_body.replace(collision=collision_systems[0])
     can_fuse = fused_supports(probe_body, sim_params, all_env[0])
-    # the evaluator does not stream per-individual MDL_DATA tables into the
-    # kernel (fused_rollout/FusedBatchRunner do); route such palettes to
-    # the jnp path
-    can_fuse = can_fuse and probe_body.ss_strain_vox is None
     # mesh-accurate fluid drag runs on the jnp path (the kernel's fluid
     # model is the voxel-face approximation)
     can_fuse = can_fuse and not use_mesh_drag
@@ -783,7 +787,15 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
 
 def _experiment_palette(env):
     """The canonical 7-material palette parameterized by experiment
-    stiffnesses (reference: read_write_voxelyze.py:175-344)."""
+    stiffnesses (reference: read_write_voxelyze.py:175-344).
+
+    `Env(materials=[Material(...), ...])` overrides the whole palette —
+    the hook for experiments on custom material models (bilinear/MDL_DATA,
+    reference VX_Object.cpp:1472-1535), which the fused evaluator streams
+    as per-individual side tables."""
+    mats = getattr(env, "materials", None)
+    if mats:
+        return list(mats)
     return evosoro_default_palette(
         fat_stiffness=getattr(env, "fat_stiffness", 5e6),
         bone_stiffness=getattr(env, "bone_stiffness", 5e8),

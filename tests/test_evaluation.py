@@ -291,3 +291,40 @@ def test_evaluator_dedups_by_md5(_restore_env):
         ind.fitness = pop.objective_dict[0]["worst_value"]
     evaluate_all(sim, env, pop)
     assert pop.total_evaluations == n_evals
+
+
+def test_fused_evaluator_mdl_data_matches_jnp(_restore_env):
+    """MDL_DATA (point-table) palettes through BOTH evaluator paths
+    (VERDICT r4 missing #2): the fused path must stream per-individual
+    stress-strain side tables (pack_ss_tables) instead of silently routing
+    to the ~9x-slower jnp scan. Palette override via Env(materials=...);
+    reference honors MDL_DATA in every sim (VX_Object.cpp:1472-1535)."""
+    from evosoro_tpu.core.types import MDL_DATA, Material
+
+    mats = [
+        Material(1, "Passive_Soft", 5e6, cte=0.0),
+        Material(2, "Data_Hard", mat_model=MDL_DATA, cte=0.0,
+                 ss_strain=(0.0, 0.001, 0.05, 0.5),
+                 ss_stress=(0.0, 5e5, 2e6, 8e6)),
+        Material(3, "Data_Active_+", mat_model=MDL_DATA, cte=0.01,
+                 ss_strain=(0.0, 0.002, 0.1),
+                 ss_stress=(0.0, 1e4, 4e5)),
+        Material(4, "Active_-", 5e6, cte=-0.01),
+    ]
+    sim = Sim(dt_frac=0.9, simulation_time=0.01, fitness_eval_init_time=0.002)
+    env = Env(time_between_traces=0, materials=mats)
+
+    pop_a = _make_pop()
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "0"
+    evaluate_all(sim, env, pop_a)
+    fits_jnp = _fitnesses(pop_a)
+
+    pop_b = _make_pop()
+    pop_b.already_evaluated = {}
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"  # fused, interpret on CPU
+    evaluate_all(sim, env, pop_b)
+    fits_fused = _fitnesses(pop_b)
+
+    assert np.isfinite(fits_jnp).all()
+    assert np.max(np.abs(fits_jnp)) > 0
+    np.testing.assert_allclose(fits_fused, fits_jnp, rtol=5e-3, atol=1e-6)
