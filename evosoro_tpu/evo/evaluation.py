@@ -137,7 +137,8 @@ def _np_max_dt(structure, e_mod_default, stiffness, palette_np,
 
 def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
                          lattice_dim, sim_params, env_flags_src,
-                         interpret=False, with_collision=False, mesh=None):
+                         interpret=False, with_collision=False, mesh=None,
+                         fluid_mesh=False):
     """Batched evaluation through the fused multi-step Pallas kernel
     (ops/fused_rollout.py): per-individual bodies, envs, dt and stop time
     ride per-robot channels, so the whole generation is ONE kernel launch
@@ -199,7 +200,7 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
     key = ("fused", grid_shape, num_steps, tuple(sorted(field_names)),
            float(lattice_dim), interpret, with_collision, feature_key,
-           mesh_key)
+           mesh_key, bool(fluid_mesh))
     if key in _compiled_cache:
         return _compiled_cache[key]
 
@@ -231,6 +232,9 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         # bilinear/MDL_DATA palettes run the in-kernel nonlinear stress path
         nonlinear=bool(np.any(np.asarray(palette.mat_model) >= 2)),
         mdl_data=has_mdl,
+        # deformed-mesh facet drag in-kernel; the caller pads the grid with
+        # the one-voxel corner shell (_dispatch_batch)
+        fluid_mesh=bool(fluid_mesh),
         # devo code paths follow which per-voxel fields the genome evolves
         # (build_body sets the matching using_* statics from the same kwargs)
         use_init_size="initial_voxel_size" in field_names,
@@ -332,7 +336,9 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
             out_state, bp, out_stats, lattice_dim,
             ndbv=flags["ndbv"], falling=flags["falling"],
             needle=flags["needle"], window=flags["window"],
-            grid_z=grid_shape[2],
+            # the fall-over penalty uses the WORKSPACE z extent — subtract
+            # the corner-shell pad layer if present
+            grid_z=grid_shape[2] - (1 if fluid_mesh else 0),
         )
 
     _compiled_cache[key] = fn
@@ -581,6 +587,25 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
     for i in range(B, Bp):
         structures[i] = structures[0]
 
+    # fluid environments: the PRODUCTION drag model is the parity-validated
+    # deformed-mesh facet drag (land_water VX_Sim.cpp:1516-1600, validated
+    # <1e-7 m/voxel vs a land_water build in test_landwater_parity.py).
+    # `Env(drag_model="voxel_face")` opts into the voxel-face approximation
+    # instead (DRAGDIV.json quantifies the trajectory divergence).
+    drag_model = getattr(env, "drag_model", "mesh")
+    use_mesh_drag = bool(all_env[0].fluid_environment) and drag_model == "mesh"
+    if use_mesh_drag:
+        # corner-shell padding: the fused kernel computes facet drag as a
+        # stencil over corner-lattice points, which needs one empty layer
+        # at the +X/+Y/+Z faces (ops/fused_rollout.supports). Pad both
+        # paths so flat indices / collision tables stay consistent.
+        structures = np.pad(structures, ((0, 0), (0, 1), (0, 1), (0, 1)))
+        voxel_fields = {
+            k: np.pad(v, ((0, 0), (0, 1), (0, 1), (0, 1)))
+            for k, v in voxel_fields.items()
+        }
+        grid = tuple(g + 1 for g in grid)
+
     env_batch = jax.tree_util.tree_map(
         lambda *xs: jnp.stack([jnp.asarray(x, dtype=jnp.float32) for x in xs]),
         *(all_env + [all_env[0]] * (Bp - B)),
@@ -642,28 +667,6 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
                 e_vox = np.where((stiff[i] > 0) & (st_i > 0), stiff[i], e_vox)
             collision_systems.append(build_collision_system(st_i, e_vox, L))
 
-    # fluid environments: the PRODUCTION drag model is the parity-validated
-    # deformed-mesh facet drag (land_water VX_Sim.cpp:1516-1600, validated
-    # <1e-7 m/voxel vs a land_water build in test_landwater_parity.py).
-    # `Env(drag_model="voxel_face")` opts into the fused kernel's voxel-face
-    # approximation instead (~10x faster; DRAGDIV.json quantifies the
-    # trajectory divergence and fitness-rank agreement between the two).
-    drag_model = getattr(env, "drag_model", "mesh")
-    use_mesh_drag = bool(all_env[0].fluid_environment) and drag_model == "mesh"
-    mesh_systems = None
-    if use_mesh_drag:
-        from evosoro_tpu.envs.drag import build_mesh_drag
-
-        raw = [build_mesh_drag(structures[i]) for i in range(B)]
-        # bucket padding so drifting mesh sizes don't retrigger compiles
-        t_max = -(-max(m.num_tris for m in raw) // 256) * 256
-        v_max = -(-max(int(m.vert_vox.shape[0]) for m in raw) // 256) * 256
-        mesh_systems = [
-            build_mesh_drag(structures[i], pad_tris=t_max, pad_verts=v_max)
-            for i in range(B)
-        ]
-        mesh_systems += [mesh_systems[0]] * (Bp - B)  # pad rows reuse row 0
-
     # fused-kernel fast path: default on TPU when the experiment is inside
     # the kernel envelope (EVOSORO_TPU_FUSED_EVAL=0 disables, =1 forces it in
     # interpreter mode off-TPU for testing)
@@ -680,9 +683,6 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
     if with_collision:
         probe_body = probe_body.replace(collision=collision_systems[0])
     can_fuse = fused_supports(probe_body, sim_params, all_env[0])
-    # mesh-accurate fluid drag runs on the jnp path (the kernel's fluid
-    # model is the voxel-face approximation)
-    can_fuse = can_fuse and not use_mesh_drag
     if with_collision:
         # the evaluator streams PER-INDIVIDUAL dense pair fields as a
         # (batch_block=8, Vp, Vp) VMEM block — supports()'s 2048-lane bound
@@ -715,6 +715,21 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
                   for cs in collision_systems],
             ),)
         if use_mesh_drag:
+            # the jnp facet path consumes host-built gather/scatter mesh
+            # tables (the fused path computes the facets in-kernel as a
+            # corner-lattice stencil and needs none)
+            from evosoro_tpu.envs.drag import build_mesh_drag
+
+            raw = [build_mesh_drag(structures[i]) for i in range(B)]
+            # bucket padding so drifting mesh sizes don't retrigger compiles
+            t_max = -(-max(m.num_tris for m in raw) // 256) * 256
+            v_max = -(-max(int(m.vert_vox.shape[0]) for m in raw) // 256) * 256
+            mesh_systems = [
+                build_mesh_drag(structures[i], pad_tris=t_max,
+                                pad_verts=v_max)
+                for i in range(B)
+            ]
+            mesh_systems += [mesh_systems[0]] * (Bp - B)
             extra_args = extra_args + (jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *mesh_systems),)
 
@@ -730,6 +745,7 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
                 palette, tuple(grid), n_steps, tuple(field_names), L,
                 sim_params, all_env[0], interpret=not on_tpu,
                 with_collision=with_collision, mesh=eval_mesh,
+                fluid_mesh=use_mesh_drag,
             )
         else:
             fn = make_batched_evaluator(

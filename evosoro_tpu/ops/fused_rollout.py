@@ -406,14 +406,19 @@ def _vox_mat_stress_k(strain, e, mm, pm, ys, ss=None):
 
 def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
               vol_ctx=None, nonlinear=False, plasticity=False,
-              ss_ctx=None):
+              ss_ctx=None, want_sv12=False):
     """Port of core.step._bond_axis_forces for one lattice direction on
     (b, Vp) component arrays. Returns force/moment/memory dict.
 
     `vol_ctx` switches on the volume-effects stress path (reference:
     VXS_BondInternal.cpp:200-298): dict with per-voxel `ehv` (Eh), `uv`
     (Poisson), this direction's carried `ts` (TStrainSum avg) and `cs`
-    (CSArea avg), and `therm` (per-voxel thermal stress term or None)."""
+    (CSArea avg), and `therm` (per-voxel thermal stress term or None).
+
+    `want_sv12` additionally returns the per-side strains sv1/sv2
+    (StrainPosDirsCur/StrainNegDirsCur writes, land_water
+    VXS_BondInternal.cpp:301-303) — consumed by the in-kernel deformed-mesh
+    facet drag's corner offsets."""
     L = scalars["L"]
     dt = scalars["dt"]  # (b, 1)
     bondz = 0.5 * scalars["bond_damping_z"]
@@ -502,6 +507,9 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
             )
         hom = bd(_D_HOM) > 0.5  # no near-equal widening in this mode
         sv = jnp.where(hom, jnp.where(mask, strain, 0.0), 0.0)
+        # heterogeneous bonds leave per-side strains at 0 in this mode
+        # (core.step.py:285-286; VXS_Bond.cpp:66-67)
+        sv1k = sv2k = sv
     elif nonlinear:
         # bilinear / MDL_DATA materials: per-side stress with the
         # reference's 3-iteration stress-equalization loop
@@ -533,6 +541,8 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
         stress_hom = _vox_mat_stress_k(strain, *side1, ss=ss1)
         stress = jnp.where(hom, stress_hom, 0.5 * (s1 + s2))
         sv = None
+        sv1k = jnp.where(hom, strain, sv1) if want_sv12 else None
+        sv2k = jnp.where(hom, strain, sv2) if want_sv12 else None
     else:
         E1, E2, E = bd(_D_E1), bd(_D_E2), bd(_D_E)
         s_sum = E1 + E2
@@ -540,6 +550,11 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
         hom = (bd(_D_HOM) > 0.5) | near_equal
         stress = jnp.where(hom, 0.5 * s_sum * strain, E * strain)
         sv = None
+        if want_sv12:
+            # linear fixed point of the stress equalization
+            # (core.step.py:296-297)
+            sv1k = jnp.where(hom, strain, 2.0 * _safe_div(E2, s_sum) * strain)
+            sv2k = jnp.where(hom, strain, 2.0 * _safe_div(E1, s_sum) * strain)
 
     if plasticity:
         # plastic high-water memory (reference VXS_BondInternal.cpp:193-207:
@@ -649,6 +664,8 @@ def _bond_dir(d, stride, st, body_at, scalars, prec: Precision,
         maxs=jnp.where(mask, max_strain, 0.0),
         soff=(jnp.where(mask, soff_new, 0.0) if plasticity else None),
         sv=sv,  # homogeneous per-side strain (volume-effects voxel pass)
+        sv1=(jnp.where(mask, sv1k, 0.0) if want_sv12 else None),
+        sv2=(jnp.where(mask, sv2k, 0.0) if want_sv12 else None),
     )
 
 
@@ -920,6 +937,42 @@ def _make_kernel(
         else:
             tsavg0 = csavg0 = ()
 
+        # ---- deformed-mesh facet drag statics (land_water
+        # VX_Sim.cpp:1516-1600, VX_MeshUtil.cpp:368-421 redesigned as a
+        # corner-lattice stencil; the jnp analog is envs/drag.py).
+        # Requires the body grid to carry one empty shell layer at the +X/
+        # +Y/+Z faces (supports() enforces it), so every corner-lattice
+        # point p of an occupied voxel maps onto a voxel lane and all
+        # lane-rotation reads across the boundary land on empty lanes.
+        fluid_mesh = bool(flags.get("fluid_mesh"))
+        if fluid_mesh:
+            _e_list = [(ex, ey, ez)
+                       for ex in (0, 1) for ey in (0, 1) for ez in (0, 1)]
+
+            def _stride_of(d3):
+                return (d3[0] * strides[0] + d3[1] * strides[1]
+                        + d3[2] * strides[2])
+
+            occ_f = jnp.where(occ, 1.0, 0.0).astype(f32)
+            # occupancy of voxel p-e seen from corner-point lane p
+            occm_e = {
+                e: (_roll_from_nbr(occ_f, _stride_of(e)) if _stride_of(e)
+                    else occ_f)
+                for e in _e_list
+            }
+            wsum_mesh = occm_e[_e_list[0]]
+            for e in _e_list[1:]:
+                wsum_mesh = wsum_mesh + occm_e[e]
+            inv_wsum_mesh = jnp.where(
+                wsum_mesh > 0, 1.0 / jnp.maximum(wsum_mesh, 1.0), 0.0)
+            # face exposure: occupied with an empty neighbor in the face
+            # direction (build_mesh_drag's exposed test)
+            exposed_mesh = {}
+            for a in range(3):
+                occ_p = _roll_nbr(occ_f, strides[a]) > 0.5
+                occ_n = _roll_from_nbr(occ_f, strides[a]) > 0.5
+                exposed_mesh[(a, +1)] = occ & ~occ_p
+                exposed_mesh[(a, -1)] = occ & ~occ_n
 
         def step(i, carry):
             (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
@@ -1068,7 +1121,8 @@ def _make_kernel(
                 _bond_dir(d, strides[d], st, body_at, sc_step, prec,
                           vol_ctx=vol_ctxs[d],
                           nonlinear=bool(flags.get("nonlinear")),
-                          plasticity=plasticity, ss_ctx=ss_ctx)
+                          plasticity=plasticity, ss_ctx=ss_ctx,
+                          want_sv12=fluid_mesh)
                 for d in range(3)
             ]
 
@@ -1225,7 +1279,86 @@ def _make_kernel(
                 for c in range(3):
                     tf[c] = tf[c] + ext_f[c]
 
-            if flags.get("fluid"):
+            if fluid_mesh:
+                # ---- deformed-mesh facet drag (land_water
+                # VX_Sim.cpp:1516-1600) as a corner-lattice stencil ----
+                # Per-direction strains written THIS step by the bond pass
+                # (StrainPos/NegDirsCur, land_water VXS_Voxel.cpp:474-475)
+                s_pos = [bonds[a]["sv1"] for a in range(3)]
+                s_neg = [_roll_from_nbr(bonds[a]["sv2"], strides[a])
+                         for a in range(3)]
+                halfL = 0.5 * L
+                # 8 world-frame corner positions per voxel:
+                # pos + R·(sign·L/2·(1+strain_dir)) (GetCurVLoc,
+                # VX_MeshUtil.cpp:404-421); sign statically selects
+                # the pos- or neg-direction strain
+                corner_w = {}
+                for s3 in [(sx, sy, sz) for sx in (-1, 1)
+                           for sy in (-1, 1) for sz in (-1, 1)]:
+                    off = tuple(
+                        (halfL if s3[a] > 0 else -halfL)
+                        * (1.0 + (s_pos[a] if s3[a] > 0 else s_neg[a]))
+                        for a in range(3))
+                    rw = _qrot_inv(_qconj(quat), off)  # forward rotation
+                    corner_w[s3] = tuple(
+                        p + r for p, r in zip(pos, rw))
+                # vertex field on corner-points: lane p holds the vertex at
+                # voxel p's min corner, the mean of the adjacent occupied
+                # voxels' coincident corners (UpdateMeshPhysicsOnlyNoColors
+                # weight-1.0 average, VX_MeshUtil.cpp:368-402)
+                vert0 = [None, None, None]
+                for e in _e_list:
+                    st_e = _stride_of(e)
+                    cw = corner_w[tuple(2 * ei - 1 for ei in e)]
+                    w_e = occm_e[e]
+                    for c in range(3):
+                        contrib = (_roll_from_nbr(cw[c], st_e) if st_e
+                                   else cw[c])
+                        contrib = w_e * contrib
+                        vert0[c] = (contrib if vert0[c] is None
+                                    else vert0[c] + contrib)
+                vert0 = [v * inv_wsum_mesh for v in vert0]
+                # the 8 corner-point vertices of each voxel: VERT(v + c)
+                vert_at = {}
+                for cc in _e_list:
+                    st_c = _stride_of(cc)
+                    vert_at[cc] = tuple(
+                        _roll_nbr(vert0[c], st_c) if st_c else vert0[c]
+                        for c in range(3))
+                # exposed faces -> 2 facets each, same corner winding as
+                # envs/drag.py _FACES; the facet owner is this voxel, so
+                # the force accumulates in place (no scatter)
+                _mesh_faces = [
+                    ((0, +1), ((1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1))),
+                    ((0, -1), ((0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0))),
+                    ((1, +1), ((0, 1, 0), (0, 1, 1), (1, 1, 1), (1, 1, 0))),
+                    ((1, -1), ((0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1))),
+                    ((2, +1), ((0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1))),
+                    ((2, -1), ((0, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 0))),
+                ]
+                for (a, sgn), quad in _mesh_faces:
+                    exp_m = exposed_mesh[(a, sgn)]
+                    q0, q1, q2, q3 = (vert_at[c] for c in quad)
+                    for ta, tb, tc_ in ((q0, q1, q2), (q0, q2, q3)):
+                        e1 = tuple(b_ - a_ for a_, b_ in zip(ta, tb))
+                        e2 = tuple(c_ - a_ for a_, c_ in zip(ta, tc_))
+                        nx = e1[1] * e2[2] - e1[2] * e2[1]
+                        ny = e1[2] * e2[0] - e1[0] * e2[2]
+                        nz = e1[0] * e2[1] - e1[1] * e2[0]
+                        nn = nx * nx + ny * ny + nz * nz
+                        n_len = jnp.sqrt(jnp.maximum(nn, 1e-30))
+                        inv_len = 1.0 / n_len
+                        vn = (vel[0] * nx + vel[1] * ny + vel[2] * nz) \
+                            * inv_len
+                        # forward-facing facets only (v·n > 0, :1560);
+                        # drag = −C·Area·|v_n|²·n̂, Area = |n|/2
+                        coef = jnp.where(
+                            exp_m & (vn > 0),
+                            dragc * (0.5 * n_len) * vn * vn * inv_len, 0.0)
+                        tf[0] = tf[0] - coef * nx
+                        tf[1] = tf[1] - coef * ny
+                        tf[2] = tf[2] - coef * nz
+            elif flags.get("fluid"):
                 # voxel-face quadratic drag on exposed forward-facing faces
                 # (core.step._fluid_drag; reference: land_water
                 # VX_Sim.cpp:1516-1600 voxel-level analog)
@@ -2204,11 +2337,19 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
     window_ok = n_win == 0 or (
         n_win <= MAX_KERNEL_WINDOW and env.time_between_traces > 0)
     ndbv_ok = (not env.norm_dist_by_vol) or env.time_between_traces > 0
+    # deformed-mesh facet drag runs in-kernel as a corner-lattice stencil
+    # (r5); it needs one empty shell layer at the +X/+Y/+Z faces so corner
+    # points map onto voxel lanes (pad the structure by 1 — the production
+    # evaluator does this automatically)
+    mesh_ok = True
+    if env.fluid_environment and body.mesh_drag is not None:
+        occ_np = np.asarray(body.occ)
+        mesh_ok = not (
+            occ_np[-1].any() or occ_np[:, -1].any() or occ_np[:, :, -1].any()
+        )
     return (
         collision_ok
-        # fluid runs in-kernel with the voxel-face drag model; bodies with a
-        # deformed-mesh facet-drag system use the jnp path (envs/drag.py)
-        and not (env.fluid_environment and body.mesh_drag is not None)
+        and mesh_ok
         and not env.floor_limited
         # up to 3 env sources track in-kernel (stats-channel budget)
         and (env.sources is None or env.sources.num_sources <= 3)
@@ -2409,6 +2550,9 @@ def fused_rollout(
         mdl_data=ss_packed is not None,
         bc=bc_packed is not None,
         collision=collision_packed is not None,
+        # deformed-mesh facet drag in-kernel (the production fluid model);
+        # same dispatch rule as core.step:887-915
+        fluid_mesh=bool(env.fluid_environment and body.mesh_drag is not None),
         use_init_size=bool(body.using_initial_voxel_size),
         use_final_size=bool(body.using_final_voxel_size),
         use_growth_t=bool(body.using_growth_time),

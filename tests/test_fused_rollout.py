@@ -711,13 +711,76 @@ def test_supports_rejects_featureful_configs():
     assert not supports(body, sim, env.replace(norm_dist_by_vol=True,
                                                time_between_traces=0.0))
     assert not supports(body, sim, env.replace(floor_limited=True))
-    # fluid with a deformed-mesh drag system → jnp facet path only
+    # fluid with a deformed-mesh drag system runs in-kernel (r5) but only
+    # with a one-voxel empty shell at the +X/+Y/+Z faces (corner-lattice
+    # stencil); unshelled bodies stay on the jnp facet path
     from evosoro_tpu.envs.drag import attach_mesh_drag
 
     body_mesh = attach_mesh_drag(body)
     assert not supports(body_mesh, sim, env.replace(fluid_environment=True))
+    struct_sh = np.zeros((5, 5, 5), dtype=np.int32)
+    struct_sh[:4, :4, :4] = np.asarray(body.mat)
+    palette = palette_from_list(evosoro_default_palette())
+    body_sh = attach_mesh_drag(build_body(struct_sh, palette))
+    assert supports(body_sh, sim, env.replace(fluid_environment=True))
     with pytest.raises(ValueError):
         fused_rollout(
             batched, body, sim, env.replace(floor_limited=True),
             num_steps=1, dt=dt, interpret=True,
         )
+
+
+def test_fused_mesh_drag_matches_jnp():
+    """Deformed-mesh facet drag in-kernel (r5, VERDICT r4 missing #1): the
+    corner-lattice stencil must track the gather/scatter jnp model
+    (envs/drag.py mesh_drag_forces, parity-validated vs land_water
+    VX_Sim.cpp:1516-1600) through an actuated swimming trajectory.
+    The body carries the one-voxel empty shell supports() requires."""
+    from evosoro_tpu.envs.drag import attach_mesh_drag
+
+    rng = np.random.default_rng(13)
+    n = 4
+    structure = np.zeros((n + 1, n + 1, n + 1), dtype=np.int32)
+    structure[:n, :n, :n] = rng.integers(0, 5, size=(n, n, n))
+    structure[:n, :n, 0] = 3  # ensure actuated voxels
+    phase = rng.uniform(-1, 1, size=(n + 1, n + 1, n + 1))
+    palette = palette_from_list(evosoro_default_palette())
+    body = attach_mesh_drag(
+        build_body(structure, palette, phase_offset=phase))
+    sim = SimParams(init_cm_time=0.0)
+    env = EnvParams(fluid_environment=True, gravity_enabled=False,
+                    floor_enabled=False, aggregate_drag_coefficient=375.0)
+    assert supports(body, sim, env)
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = init_state(body)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state
+    )
+    steps = 100
+
+    ref = _jnp_steps(batched, body, sim, env, dt, steps)
+    out, stats = fused_rollout(
+        batched, body, sim, env, num_steps=steps, dt=dt, interpret=True
+    )
+    assert float(np.abs(np.asarray(ref.linmom)).max()) > 0
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.scale), np.asarray(ref.scale), rtol=1e-6, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.linmom), np.asarray(ref.linmom), rtol=1e-3, atol=5e-5
+    )
+    assert not bool(np.any(np.asarray(stats.diverged)))
+
+    # the mesh model must differ from the voxel-face approximation (the two
+    # drag models diverge at 2nd order in deformation, DRAGDIV.json) — guard
+    # against silently running the cheap model
+    body_nomesh = body.replace(mesh_drag=None)
+    out_face, _ = fused_rollout(
+        batched, body_nomesh, sim, env, num_steps=steps, dt=dt,
+        interpret=True,
+    )
+    assert not np.allclose(np.asarray(out_face.pos), np.asarray(out.pos),
+                           atol=1e-12)
