@@ -729,11 +729,24 @@ def _make_kernel(
     flags: dict,
     prec: Precision,
     n_knots: int,
+    total_steps: int | None = None,
+    bwd: bool = False,
 ):
     """Build the kernel body closure. `scalars_static` holds python-float
     physics constants baked into the trace; `flags` holds static feature
-    booleans (floor/gravity/temp/sticky/control)."""
+    booleans (floor/gravity/temp/sticky/control).
+
+    `total_steps`/flags["segmented"]: segment mode — the kernel advances
+    `num_steps` of a `total_steps` rollout starting at a runtime step
+    offset (SMEM scalar), so control-knot boundaries and the step-0 IniCM
+    seed use the GLOBAL step index. `bwd` builds the reverse-mode segment
+    kernel instead: it recomputes the segment forward into VMEM scratch,
+    then pulls a state cotangent back through every step with `jax.vjp`
+    of the same step closure (the differentiable-MPC path; SURVEY.md §7
+    hard part 5)."""
     strides = (Y * Z, Z, 1)
+    knot_steps = int(total_steps if total_steps is not None else num_steps)
+    segmented = bool(flags.get("segmented"))
 
     def kernel(*refs):
         refs = list(refs)
@@ -744,7 +757,14 @@ def _make_kernel(
         bc_ref = refs.pop(0) if flags.get("bc") else None
         stats_in = refs.pop(0)
         ctrl_ref = refs.pop(0) if n_knots else None
-        state_out, stats_out = refs
+        seg_ref = refs.pop(0) if segmented else None
+        if bwd:
+            cot_in = refs.pop(0)
+            cot_state_out, cot_ctrl_out = refs.pop(0), refs.pop(0)
+            carr_scr, scal_scr = refs
+            state_out = stats_out = None
+        else:
+            state_out, stats_out = refs
 
         f32 = state_in.dtype
 
@@ -819,7 +839,11 @@ def _make_kernel(
         if ctrl_ref is not None:
             # static per-knot reads; the per-step knot lookup is a select-sum
             # (Mosaic lowers neither dynamic_slice on values nor i1 gathers)
-            ctrl_knots = [ctrl_ref[:, k, :] for k in range(n_knots)]
+            ctrl_knots = tuple(ctrl_ref[:, k, :] for k in range(n_knots))
+        else:
+            ctrl_knots = ()
+        # segment mode: runtime global-step offset (SMEM scalar)
+        seg0 = seg_ref[0] if segmented else 0
 
         if flags.get("equilibrium"):
             ke0 = tuple(stat(_S_KE + k) for k in range(6))
@@ -974,7 +998,8 @@ def _make_kernel(
                 exposed_mesh[(a, +1)] = occ & ~occ_p
                 exposed_mesh[(a, -1)] = occ & ~occ_n
 
-        def step(i, carry):
+        def step(i, carry, ctrl_vals=()):
+            i_glob = seg0 + i if segmented else i
             (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
              t, div_f, ini, capt_f, tsavg, csavg, ke_hist, dt_carry,
              soff, src_min, src_sum, src_cnt, feat, ringy, ringv, dd) = carry
@@ -1032,7 +1057,7 @@ def _make_kernel(
             # seed with the step-0 CoM so never-captured rollouts report the
             # initial CoM, matching core.rollout's carry initialization
             capture = (~capt) & (t > init_cm)
-            take = capture | ((i == 0) & ~capt)
+            take = capture | ((i_glob == 0) & ~capt)
             ini = tuple(jnp.where(take, c, i0) for c, i0 in zip(cm, ini))
             capt = capt | capture
 
@@ -1060,7 +1085,7 @@ def _make_kernel(
                         (jnp.sum(is7 * p, axis=1, keepdims=True)
                          / jnp.maximum(n7, 1.0)).astype(f32) for p in pos)
                     ncapb = (ncap < 0.5) & (t > init_cm)
-                    take_n = ncapb | ((i == 0) & (ncap < 0.5))
+                    take_n = ncapb | ((i_glob == 0) & (ncap < 0.5))
                     ndl0 = jnp.where(take_n, npos[0], ndl0)
                     ndl1 = jnp.where(take_n, npos[1], ndl1)
                     ndl2 = jnp.where(take_n, npos[2], ndl2)
@@ -1616,14 +1641,15 @@ def _make_kernel(
                 # fluid environments bypass the devo/clamp machinery above
                 # (XLA dead-code-eliminates the unused trace)
                 scale_new = scale_fluid
-            if ctrl_ref is not None:
+            if n_knots:
                 # MPC channel applied after the clamps, as in core.step
-                knot = jnp.minimum(i * n_knots // num_steps, n_knots - 1)
-                u = ctrl_knots[0] if n_knots == 1 else None
+                knot = jnp.minimum(
+                    i_glob * n_knots // knot_steps, n_knots - 1)
+                u = ctrl_vals[0] if n_knots == 1 else None
                 if n_knots > 1:
                     u = jnp.zeros_like(scale)
                     for k in range(n_knots):
-                        u = u + jnp.where(knot == k, 1.0, 0.0) * ctrl_knots[k]
+                        u = u + jnp.where(knot == k, 1.0, 0.0) * ctrl_vals[k]
                 scale_new = scale_new + jnp.where(occ, u * L, 0.0)
 
             # ---- ballistic velocity-adjusted development rebasing
@@ -1790,11 +1816,102 @@ def _make_kernel(
             )
             return carry_new
 
-        carry = (pos0, quat0, lin0, ang0, scale0, small0, lp20, la10, la20,
-                 maxs0, t0, div0, ini0, capt0, tsavg0, csavg0, ke0,
-                 (dt0,) if vol_outer else (), soff0,
-                 srcmin0, srcsum0, srccnt0, feat0, ringy0, ringv0, dd0)
-        carry = jax.lax.fori_loop(0, num_steps, step, carry)
+        carry0 = (pos0, quat0, lin0, ang0, scale0, small0, lp20, la10, la20,
+                  maxs0, t0, div0, ini0, capt0, tsavg0, csavg0, ke0,
+                  (dt0,) if vol_outer else (), soff0,
+                  srcmin0, srcsum0, srccnt0, feat0, ringy0, ringv0, dd0)
+
+        if bwd:
+            # ---- reverse-mode segment: forward-recompute into VMEM
+            # scratch, then per-step jax.vjp of the SAME step closure in
+            # reverse, accumulating the control cotangent. The carry's
+            # (b, Vp) leaves go to carr_scr, (b, 1) scalars (t, div, ini,
+            # capt) to scal_scr lanes. Stats/seg inputs are constants of
+            # the segment (no gradient flows through them w.r.t. u). ----
+            leaves0, treedef = jax.tree_util.tree_flatten(carry0)
+            vp_idx = [k for k, l in enumerate(leaves0)
+                      if l.shape[-1] == Vp]
+            sc_idx = [k for k, l in enumerate(leaves0)
+                      if l.shape[-1] != Vp]
+            b_rows = scale0.shape[0]
+
+            def fwd_body(i, carry):
+                leaves = jax.tree_util.tree_leaves(carry)
+                for slot, k in enumerate(vp_idx):
+                    carr_scr[i, slot] = leaves[k]
+                for slot, k in enumerate(sc_idx):
+                    scal_scr[i, slot] = jnp.broadcast_to(
+                        leaves[k], (b_rows, 128))
+                return step(i, carry, ctrl_knots)
+
+            jax.lax.fori_loop(0, num_steps, fwd_body, carry0)
+
+            def cotch(k):
+                return cot_in[:, k, :]
+
+            zsc = jnp.zeros_like(t0)
+            cot_carry0 = (
+                tuple(cotch(_POS + c) for c in range(3)),
+                tuple(cotch(_QUAT + c) for c in range(4)),
+                tuple(cotch(_LIN + c) for c in range(3)),
+                tuple(cotch(_ANG + c) for c in range(3)),
+                cotch(_SCALE),
+                tuple(cotch(_SMALL + d) for d in range(3)),
+                tuple(tuple(cotch(_LP2 + 3 * d + c) for c in range(3))
+                      for d in range(3)),
+                tuple(tuple(cotch(_LA1 + 3 * d + c) for c in range(3))
+                      for d in range(3)),
+                tuple(tuple(cotch(_LA2 + 3 * d + c) for c in range(3))
+                      for d in range(3)),
+                tuple(cotch(_MAXS + d) for d in range(3)),
+                zsc, zsc, (zsc, zsc, zsc), zsc,
+                (), (), (), (), (), (), (), (), (), (), (), (),
+            )
+            cot_u0 = tuple(jnp.zeros_like(scale0) for _ in range(n_knots))
+
+            def bwd_body(j, cc):
+                cot_carry, cot_u = cc
+                i = num_steps - 1 - j
+                leaves = list(leaves0)
+                for slot, k in enumerate(vp_idx):
+                    leaves[k] = carr_scr[i, slot]
+                for slot, k in enumerate(sc_idx):
+                    leaves[k] = scal_scr[i, slot][:, :1]
+                carry_i = jax.tree_util.tree_unflatten(treedef, leaves)
+                _, vjp_fn = jax.vjp(
+                    lambda c, u: step(i, c, u), carry_i, ctrl_knots)
+                d_carry, d_u = vjp_fn(cot_carry)
+                cot_u = tuple(a + g for a, g in zip(cot_u, d_u))
+                return d_carry, cot_u
+
+            cot_carry, cot_u = jax.lax.fori_loop(
+                0, num_steps, bwd_body, (cot_carry0, cot_u0))
+
+            (cpos, cquat, clin, cang, cscale, csml, clp2, cla1, cla2,
+             cmaxs) = cot_carry[:10]
+            for c in range(3):
+                cot_state_out[:, _POS + c, :] = cpos[c]
+                cot_state_out[:, _LIN + c, :] = clin[c]
+                cot_state_out[:, _ANG + c, :] = cang[c]
+            for c in range(4):
+                cot_state_out[:, _QUAT + c, :] = cquat[c]
+            cot_state_out[:, _SCALE, :] = cscale
+            for d in range(3):
+                cot_state_out[:, _SMALL + d, :] = csml[d]
+                cot_state_out[:, _MAXS + d, :] = cmaxs[d]
+                for c in range(3):
+                    cot_state_out[:, _LP2 + 3 * d + c, :] = clp2[d][c]
+                    cot_state_out[:, _LA1 + 3 * d + c, :] = cla1[d][c]
+                    cot_state_out[:, _LA2 + 3 * d + c, :] = cla2[d][c]
+            czero = jnp.zeros_like(scale0)
+            for k in range(_TSAVG, C_S):
+                cot_state_out[:, k, :] = czero
+            for k in range(n_knots):
+                cot_ctrl_out[:, k, :] = cot_u[k]
+            return
+
+        carry = jax.lax.fori_loop(
+            0, num_steps, lambda i, c: step(i, c, ctrl_knots), carry0)
         (pos, quat, lin, ang, scale, small_f, lp2, la1, la2, maxs,
          t, div_f, ini, capt_f, tsavg_f, csavg_f, ke_f, dt_f,
          soff_f, srcmin_f, srcsum_f, srccnt_f, feat_f, _ry_f, _rv_f,
@@ -2362,7 +2479,7 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
     jax.jit,
     static_argnames=(
         "num_steps", "grid_shape", "batch_block", "n_knots", "interpret",
-        "scalars", "flags", "prec",
+        "scalars", "flags", "prec", "total_steps",
     ),
 )
 def _fused_call(
@@ -2373,6 +2490,7 @@ def _fused_call(
     collision_packed=None,
     ss_packed=None,
     bc_packed=None,
+    seg_base=None,
     *,
     num_steps: int,
     grid_shape,
@@ -2382,6 +2500,7 @@ def _fused_call(
     scalars,
     flags,
     prec: Precision,
+    total_steps: int | None = None,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -2393,7 +2512,8 @@ def _fused_call(
     shared_body = body_packed.shape[0] == 1
 
     kernel = _make_kernel(
-        X, Y, Z, Vp, num_steps, dict(scalars), dict(flags), prec, n_knots
+        X, Y, Z, Vp, num_steps, dict(scalars), dict(flags), prec, n_knots,
+        total_steps=total_steps,
     )
 
     grid = (B // b,)
@@ -2446,6 +2566,9 @@ def _fused_call(
         )
         in_specs.append(ctrl_spec)
         inputs.append(control_packed)
+    if dict(flags).get("segmented"):
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(seg_base, jnp.int32).reshape(1))
 
     out_state, out_stats = pl.pallas_call(
         kernel,
@@ -2466,6 +2589,114 @@ def _fused_call(
         ),
     )(*inputs)
     return out_state, out_stats
+
+
+def _diff_envelope_ok(flags, scalars) -> bool:
+    """The reverse-mode segment kernel covers the MPC control envelope:
+    no volume effects / equilibrium / plasticity / sources / fitness
+    features / ballistic devo / collision / MDL_DATA / BC regions (their
+    carries are excluded from the scratch layout)."""
+    f = dict(flags)
+    return not any(
+        f.get(k) for k in (
+            "volume", "equilibrium", "plasticity", "needle", "falling",
+            "ndbv", "window", "ballistic", "collision", "mdl_data", "bc",
+        )
+    ) and len(dict(scalars).get("sources", ())) == 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_steps", "grid_shape", "batch_block", "n_knots", "interpret",
+        "scalars", "flags", "prec", "total_steps",
+    ),
+)
+def _fused_bwd_call(
+    state_packed,
+    body_packed,
+    stats,
+    control_packed,
+    seg_base,
+    cot_state,
+    *,
+    num_steps: int,
+    grid_shape,
+    batch_block: int,
+    n_knots: int,
+    interpret: bool,
+    scalars,
+    flags,
+    prec: Precision,
+    total_steps: int,
+):
+    """Reverse-mode segment launch: pull `cot_state` (cotangent of the
+    segment-END packed state) back to (cot of segment-START state, cot of
+    the control knots). Forward states are recomputed into VMEM scratch
+    (the checkpoint is the segment start), so HBM traffic stays at the
+    segment boundaries — the BPTT-memory answer of SURVEY §7 hard part 5."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    X, Y, Z = grid_shape
+    B, _, Vp = state_packed.shape
+    b = batch_block
+    assert B % b == 0
+    assert n_knots > 0
+    fdict = dict(flags)
+    assert fdict.get("segmented")
+    kernel = _make_kernel(
+        X, Y, Z, Vp, num_steps, dict(scalars), fdict, prec, n_knots,
+        total_steps=total_steps, bwd=True,
+    )
+    # carry leaves inside the diff envelope: 47 (b, Vp) channels
+    # (pos3 quat4 lin3 ang3 scale small3 lp2/la1/la2 9×3 maxs3) + 6 (b, 1)
+    # scalars (t, div, ini3, capt)
+    NCH, NSC = 47, 6
+
+    grid = (B // b,)
+    state_spec = pl.BlockSpec(
+        (b, C_S, Vp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    shared_body = body_packed.shape[0] == 1
+    body_spec = pl.BlockSpec(
+        (1 if shared_body else b, C_B, Vp),
+        (lambda i: (0, 0, 0)) if shared_body else (lambda i: (i, 0, 0)),
+        memory_space=pltpu.VMEM,
+    )
+    stats_spec = pl.BlockSpec(
+        (b, C_STAT), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    ctrl_spec = pl.BlockSpec(
+        (b, n_knots, Vp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        state_spec, body_spec, stats_spec, ctrl_spec,
+        pl.BlockSpec(memory_space=pltpu.SMEM), state_spec,
+    ]
+    inputs = [
+        state_packed, body_packed, stats, control_packed,
+        jnp.asarray(seg_base, jnp.int32).reshape(1), cot_state,
+    ]
+    cot_state_in, cot_ctrl = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[state_spec, ctrl_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(state_packed.shape, state_packed.dtype),
+            jax.ShapeDtypeStruct(control_packed.shape, state_packed.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_steps, NCH, b, Vp), state_packed.dtype),
+            pltpu.VMEM((num_steps, NSC, b, 128), state_packed.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+    )(*inputs)
+    return cot_state_in, cot_ctrl
 
 
 # jitted packers: the pack/unpack stages are ~50 reshape/pad/stack ops on
