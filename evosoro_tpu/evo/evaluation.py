@@ -515,10 +515,19 @@ def evaluate_all(
     return pop
 
 
+# phase timing of the most recent _dispatch_batch, for observability and
+# tools/evobench.py's generations/hour breakdown (host prep vs device time)
+LAST_DISPATCH_TIMING: dict = {}
+
+
 def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
                     devices=None):
     from evosoro_tpu.core.materials import devo_params_from_vxa
     from evosoro_tpu.core.types import EnvParams, SimParams  # noqa: F401
+
+    _t0 = time.time()
+    _tm = LAST_DISPATCH_TIMING
+    _tm.clear()
 
     grid = inds[0].genotype.orig_size_xyz
     sim_params_for_devo = sim.to_sim_params()
@@ -647,6 +656,8 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
     # design (~0.1 s for a 10³ via sparse BFS) and either stacked as a
     # padded CollisionSystem (jnp path) or packed to dense (B, Vp, Vp)
     # pair fields (fused path).
+    _tm["host_fields_s"] = time.time() - _t0
+    _t1 = time.time()
     with_collision = bool(sim_params.self_collisions_enabled)
     collision_systems = None
     if with_collision:
@@ -666,6 +677,8 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
                 # match build_body's per-voxel stiffness override rule
                 e_vox = np.where((stiff[i] > 0) & (st_i > 0), stiff[i], e_vox)
             collision_systems.append(build_collision_system(st_i, e_vox, L))
+
+    _tm["host_collision_s"] = time.time() - _t1
 
     # fused-kernel fast path: default on TPU when the experiment is inside
     # the kernel envelope (EVOSORO_TPU_FUSED_EVAL=0 disables, =1 forces it in
@@ -690,6 +703,21 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
         Vp_probe = -(-int(np.prod(grid)) // 128) * 128
         can_fuse = can_fuse and Vp_probe <= 1024
     use_fused = can_fuse and (force == "1" or (on_tpu and force != "0"))
+    if not use_fused and on_tpu and force != "0":
+        # the jnp-scan fallback runs ~9x slower on-chip (FALLBACK.json);
+        # tell the user which side of the cliff this generation is on and why
+        reasons = []
+        if with_collision and -(-int(np.prod(grid)) // 128) * 128 > 1024:
+            reasons.append(
+                "self-collision with >1024 lanes (per-individual pair "
+                "fields outgrow VMEM)")
+        if not fused_supports(probe_body, sim_params, all_env[0]):
+            reasons.append("outside the fused kernel envelope "
+                           "(ops.fused_rollout.supports)")
+        print_log.message(
+            "WARNING: generation leaving the fused TPU path ({}); "
+            "expect ~9x lower rollout throughput".format(
+                "; ".join(reasons) or "unknown reason"))
 
     extra_args = ()
     if use_fused:
@@ -763,6 +791,12 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
         )
         return jax.tree_util.tree_map(np.asarray, out)
 
+    _tm["host_prep_s"] = time.time() - _t0
+    _tm["batch"] = len(inds)
+    _tm["batch_padded"] = int(Bp)
+    _tm["num_steps"] = int(num_steps)
+    _tm["used_fused"] = bool(use_fused)
+    _td = time.time()
     results = _run(num_steps)
     if vol_on:
         # the in-step recomputed dt shrinks under compression; the 15% static
@@ -780,6 +814,7 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
                 "re-dispatching with scan length {}".format(
                     int(short.sum()), num_steps))
             results = _run(num_steps)
+    _tm["device_s"] = time.time() - _td
 
     # objective assignment (reference: evaluation.py:160-177)
     for i, ind in enumerate(inds):

@@ -50,3 +50,34 @@ def test_sqp_zero_target_prefers_zero_control():
         body, sim, env, 16, 2, target=0.0, config=cfg, dt=dt
     )
     assert float(jnp.abs(u).max()) < 0.05
+
+
+def test_sqp_fused_reduces_tracking_cost():
+    """sqp_optimize_fused: Gauss-Newton over the FUSED kernel's segment-
+    differentiable rollout (Jacobian rows ride batch lanes; Woodbury-exact
+    subproblem). Interpret mode on CPU; the cost trace must show accepted
+    cost-reducing steps within the control box."""
+    from evosoro_tpu.control.sqp import sqp_optimize_fused
+
+    rng = np.random.default_rng(0)
+    structure = np.full((3, 3, 2), 3, dtype=np.int32)
+    phase = rng.uniform(-1, 1, size=(3, 3, 2))
+    palette = palette_from_list(evosoro_default_palette())
+    body = build_body(structure, palette, phase_offset=phase,
+                      dtype=jnp.float32)
+    sim = SimParams(init_cm_time=0.0)
+    env = EnvParams()
+    dt = calc_max_dt(body) * sim.dt_frac
+    steps, K = 16, 2
+    cfg = SQPConfig(num_iters=2, w_reg=1e-2)
+
+    u, info = sqp_optimize_fused(
+        body, sim, env, steps, K, target=0.05, config=cfg, dt=dt,
+        interpret=True,
+    )
+    costs = np.asarray(info["cost_trace"])
+    assert np.isfinite(costs).all()
+    assert bool(np.asarray(info["accepted_trace"]).any())
+    assert float(info["best_cost"]) <= float(costs[0])
+    assert np.abs(np.asarray(u)).max() <= cfg.u_clip + 1e-12
+    assert u.shape == (K,) + body.occ.shape

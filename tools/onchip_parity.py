@@ -94,6 +94,23 @@ def _scenario_fluid(rng):
     return body, sim, env, {}
 
 
+def _scenario_fluid_mesh(rng):
+    # deformed-mesh facet drag in-kernel (r5): corner-lattice stencil on a
+    # shell-padded grid vs envs/drag.py's gather/scatter jnp model
+    from evosoro_tpu.envs.drag import attach_mesh_drag
+
+    s = np.zeros((5, 5, 5), dtype=np.int32)
+    s[:4, :4, :4] = rng.integers(0, 5, size=(4, 4, 4))
+    s[:4, :4, 0] = 3
+    body = attach_mesh_drag(
+        build_body(s, palette_from_list(evosoro_default_palette()),
+                   phase_offset=rng.uniform(-1, 1, size=s.shape)))
+    sim = SimParams(init_cm_time=0.0)
+    env = EnvParams(fluid_environment=True, gravity_enabled=False,
+                    floor_enabled=False, aggregate_drag_coefficient=375.0)
+    return body, sim, env, {}
+
+
 def _scenario_bilinear(rng):
     from evosoro_tpu.core.types import MDL_BILINEAR, Material
 
@@ -205,6 +222,7 @@ SCENARIOS = {
     "collision": _scenario_collision,
     "volume_effects": _scenario_volume,
     "fluid_drag": _scenario_fluid,
+    "fluid_mesh": _scenario_fluid_mesh,
     "bilinear": _scenario_bilinear,
     "equilibrium_maxvel": _scenario_equilibrium_maxvel,
     "plasticity": _scenario_plasticity,
