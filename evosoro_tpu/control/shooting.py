@@ -357,6 +357,139 @@ def cem_optimize_fused(
     )
 
 
+_fused_mpc_loop_cache: dict = {}
+
+
+def make_fused_mpc_closed_loop(body, sim, env, plan_steps, plan_knots,
+                               exec_knots=1, config: CEMConfig = CEMConfig(),
+                               dt=None, interpret=False):
+    """ONE-device-program receding-horizon MPC (the north-star control
+    loop, BASELINE.md MPC row): every scan step plans a `plan_steps`
+    window with a warm-started CEM (`config.num_iters` x
+    `config.pop_size`, mean carried over from the previous plan shifted
+    by the executed knots), then EXECUTES the first `exec_knots` knots on
+    the true state — plan and execution are both fused-kernel launches
+    inside one jit, so a whole closed-loop run costs one host->device
+    launch.
+
+    Returns `(run, aux)`: `run(seg_keys, state8, stats8, mean0, std0)`
+    scans over `seg_keys.shape[0]` segments and returns
+    `(state8, stats8, planned_cost_per_segment)`; `aux` carries the
+    packed initial state/stats (batch 8) and geometry. Real-time factor =
+    executed seconds per device second; the warm replan needs far fewer
+    candidates than a cold solve (bench: tools/bench_mpc.py --closed)."""
+    import sys
+
+    import numpy as np
+
+    fr = sys.modules["evosoro_tpu.ops.fused_rollout"]
+    from evosoro_tpu.ops.fused_rollout import FusedBatchRunner
+
+    steps_per_knot = plan_steps // plan_knots
+    exec_steps = steps_per_knot * exec_knots
+    P = int(np.ceil(config.pop_size / 8) * 8)
+    runner = FusedBatchRunner(
+        body, sim, env, batch=P, num_steps=plan_steps,
+        num_knots=plan_knots, dt=dt, interpret=interpret,
+    )
+    plan_kwargs = dict(runner._call_kwargs)
+    exec_kwargs = dict(plan_kwargs, num_steps=exec_steps,
+                       n_knots=exec_knots)
+    Vp = runner.Vp
+    L = float(runner.L)
+    X, Y, Z = body.occ.shape
+    shape = (plan_knots, X, Y, Z)
+    n_elite = max(1, int(config.pop_size * config.elite_frac))
+    coll, ss, bc = (runner.collision_packed, runner.ss_packed,
+                    runner.bc_packed)
+    body_packed = runner.body_packed
+
+    cache_key = (tuple(sorted((k, v) for k, v in plan_kwargs.items())),
+                 P, n_elite, config, shape, L, exec_knots)
+    if cache_key in _fused_mpc_loop_cache:
+        run = _fused_mpc_loop_cache[cache_key]
+    else:
+        def run_body(seg_keys, state8, stats8, mean0, std0):
+            def segment(carry, k):
+                state8, stats8, mean, std = carry
+                # plan from the CURRENT true state (rows broadcast to the
+                # candidate pop; CoM capture reset so the plan scores its
+                # own window)
+                plan_state = jnp.broadcast_to(
+                    state8[:1], (P,) + state8.shape[1:])
+                pst = jnp.broadcast_to(stats8[:1], (P, stats8.shape[1]))
+                pst = pst.at[:, fr._S_CAPT].set(0.0)
+                it_keys = jax.random.split(k, config.num_iters)
+
+                def it(c, kk):
+                    mean, std, best_u, best_cost = c
+                    eps = jax.random.normal(kk, (P,) + shape, jnp.float32)
+                    us = jnp.clip(mean[None] + std[None] * eps,
+                                  -config.u_clip, config.u_clip)
+                    ctrl = fr._flat(us, Vp)
+                    out_state, out_stats = fr._fused_call(
+                        plan_state, body_packed, pst, ctrl, coll, ss, bc,
+                        **plan_kwargs)
+                    m = fr.packed_metrics(
+                        out_state, body_packed, out_stats, L)
+                    costs = jnp.where(
+                        m["diverged"], 1e9, -m["norm_final_dist"])
+                    order = jnp.argsort(costs)[:n_elite]
+                    elites = us[order]
+                    a = config.smoothing
+                    mean = a * jnp.mean(elites, axis=0) + (1 - a) * mean
+                    std = a * (jnp.std(elites, axis=0) + config.min_std) \
+                        + (1 - a) * std
+                    it_best = costs[order[0]]
+                    better = it_best < best_cost
+                    best_u = jnp.where(better, us[order[0]], best_u)
+                    return (mean, std, best_u,
+                            jnp.minimum(best_cost, it_best)), it_best
+
+                (mean, std, best_u, best_cost), _ = jax.lax.scan(
+                    it, (mean, std, mean,
+                         jnp.asarray(jnp.inf, jnp.float32)), it_keys)
+
+                # execute the first exec_knots on the true state
+                u_exec = best_u[:exec_knots]
+                ctrl_e = fr._flat(jnp.broadcast_to(
+                    u_exec[None], (8,) + u_exec.shape), Vp)
+                state8, stats8 = fr._fused_call(
+                    state8, body_packed, stats8, ctrl_e, coll, ss, bc,
+                    **exec_kwargs)
+                # warm start the next plan: shift out the executed knots
+                mean = jnp.concatenate(
+                    [best_u[exec_knots:],
+                     jnp.broadcast_to(best_u[-1:],
+                                      (exec_knots,) + best_u.shape[1:])],
+                    axis=0)
+                std = jnp.full(shape, config.init_std, jnp.float32)
+                return (state8, stats8, mean, std), best_cost
+
+            (state8, stats8, mean, std), costs = jax.lax.scan(
+                segment, (state8, stats8, mean0, std0), seg_keys)
+            return state8, stats8, costs
+
+        run = jax.jit(run_body)
+        _fused_mpc_loop_cache[cache_key] = run
+
+    mass = body_packed[:, fr._B_MASS, :]
+
+    def cm_xy(state8, stats8):
+        inv_m = stats8[:1, fr._S_INV_MASS]
+        return jnp.stack([
+            jnp.sum(state8[:1, fr._POS + c, :] * mass, axis=1)[0] * inv_m[0]
+            for c in range(2)
+        ])
+
+    aux = dict(
+        state8=runner.state_packed[:8], stats8=runner.stats[:8],
+        shape=shape, exec_steps=exec_steps, P=P, cm_xy=cm_xy,
+        runner=runner,
+    )
+    return run, aux
+
+
 @dataclasses.dataclass(frozen=True)
 class MPCController:
     """Receding-horizon planner: CEM over a short lookahead, execute the

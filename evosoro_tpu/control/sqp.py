@@ -221,13 +221,14 @@ def sqp_optimize_fused(
     if dt is None:
         dt = calc_max_dt(body) * sim.dt_frac
     dtype = jnp.float32
+    batch = max(8, -(-n_res // 8) * 8)
     batched0 = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (n_res,) + x.shape), state0
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state0
     )
 
     dr = DiffRollout(
         body, sim, env, num_steps=num_steps, num_knots=num_knots, dt=dt,
-        batch=n_res, n_segs=n_res, batch_block=n_res, interpret=interpret,
+        batch=batch, n_segs=n_res, batch_block=8, interpret=interpret,
     )
     sp0 = dr.init_packed(batched0)
     stats0 = dr.stats0
@@ -245,9 +246,9 @@ def sqp_optimize_fused(
 
     def cms_fn(u8p):
         cms, _, _ = dr(sp0, stats0, u8p)
-        return cms  # (n_res, n_res) boundary x batch-row
+        return cms  # (n_res, batch) boundary x batch-row
 
-    eye_cot = jnp.eye(n_res, dtype=dtype)
+    eye_cot = jnp.eye(n_res, batch, dtype=dtype)
     w2 = jnp.asarray(config.w_reg, dtype) ** 2
 
     def resid_parts(cms_col):
@@ -261,11 +262,12 @@ def sqp_optimize_fused(
 
     def iteration(carry, _):
         up, lam, best_cost = carry
-        u8p = jnp.broadcast_to(up[None], (n_res,) + up.shape)
+        u8p = jnp.broadcast_to(up[None], (batch,) + up.shape)
         cms, pullback = jax.vjp(cms_fn, u8p)
         # one backward, n_res Jacobian rows: row i of the cotangent block
         # selects boundary i on batch row i
-        (j_rows,) = pullback(eye_cot)  # (n_res, K, Vp) = ∂cm_i/∂u
+        (j_rows,) = pullback(eye_cot)
+        j_rows = j_rows[:n_res]  # (n_res, K, Vp) = ∂cm_i/∂u
         jt = (j_rows - j_rows[0:1]).reshape(n_res, P) * (
             config.w_track / L)
         r_track = resid_parts(cms[:, 0])
@@ -281,7 +283,7 @@ def sqp_optimize_fused(
             up + delta.reshape(up.shape), -config.u_clip, config.u_clip
         )
 
-        u8_new = jnp.broadcast_to(u_new[None], (n_res,) + u_new.shape)
+        u8_new = jnp.broadcast_to(u_new[None], (batch,) + u_new.shape)
         cms_new, _, _ = dr(sp0, stats0, u8_new)
         r_new = resid_parts(cms_new[:, 0])
         cost_new = 0.5 * (jnp.vdot(r_new, r_new)
@@ -300,7 +302,7 @@ def sqp_optimize_fused(
         (up, lam, best_cost), trace = jax.lax.scan(
             iteration, init, None, length=config.num_iters
         )
-        u8p = jnp.broadcast_to(up[None], (n_res,) + up.shape)
+        u8p = jnp.broadcast_to(up[None], (batch,) + up.shape)
         cms_f, _, _ = dr(sp0, stats0, u8p)
         r_f = resid_parts(cms_f[:, 0])
         final_cost = 0.5 * (jnp.vdot(r_f, r_f) + w2 * jnp.vdot(up, up))

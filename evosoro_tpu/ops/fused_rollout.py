@@ -2934,6 +2934,8 @@ class FusedBatchRunner:
                 mdl_data=self.ss_packed is not None,
                 bc=self.bc_packed is not None,
                 collision=self.collision_packed is not None,
+                fluid_mesh=bool(
+                    env.fluid_environment and body.mesh_drag is not None),
                 use_init_size=bool(body.using_initial_voxel_size),
                 use_final_size=bool(body.using_final_voxel_size),
                 use_growth_t=bool(body.using_growth_time),

@@ -68,12 +68,12 @@ def test_sqp_fused_reduces_tracking_cost():
     sim = SimParams(init_cm_time=0.0)
     env = EnvParams()
     dt = calc_max_dt(body) * sim.dt_frac
-    steps, K = 16, 2
-    cfg = SQPConfig(num_iters=2, w_reg=1e-2)
+    steps, K = 8, 2
+    cfg = SQPConfig(num_iters=1, w_reg=1e-2)
 
     u, info = sqp_optimize_fused(
         body, sim, env, steps, K, target=0.05, config=cfg, dt=dt,
-        interpret=True,
+        n_res=4, interpret=True,
     )
     costs = np.asarray(info["cost_trace"])
     assert np.isfinite(costs).all()
