@@ -719,6 +719,49 @@ def _pair_contact_forces(p3, s, a1, f32):
     ]
 
 
+def _pair_contact_forces_compact(p3, s, packed, Vp, f32):
+    """Surface-compacted variant of `_pair_contact_forces` (VERDICT r4
+    weak #3's untried idea): lane gathers don't exist on the VPU, but the
+    MXU does permutation matmuls cheaply — gather the Sp surface lanes
+    with a one-hot (Vp, Sp) matmul at HIGHEST precision (exact for
+    one-hot operands), evaluate the (Sp, Sp) pair field (~(Sp/Vp)² of the
+    dense work), and scatter the forces back through the same one-hot.
+
+    `packed`: (Vp + Sp, Sp) — rows [0, Vp) are the gather one-hot G,
+    rows [Vp, Vp+Sp) the compacted pair-stiffness table a1_s.
+    Returns 3 (1, Vp) force channels."""
+    g = packed[:Vp, :]  # (Vp, Sp) one-hot
+    a1_s = packed[Vp:, :]  # (Sp, Sp)
+    Sq = a1_s.shape[-1]
+    vals = jnp.concatenate([p3[0], p3[1], p3[2], s], axis=0)  # (4, Vp)
+    hi = jax.lax.Precision.HIGHEST
+    gs = jax.lax.dot_general(
+        vals, g, (((1,), (0,)), ((), ())), precision=hi,
+        preferred_element_type=f32)  # (4, Sp)
+    ps = [gs[k:k + 1, :] for k in range(3)]
+    ss = gs[3:4, :]
+    shape2 = (Sq, Sq)
+    col = [jnp.broadcast_to(p.reshape(Sq, 1), shape2) for p in ps]
+    row = [jnp.broadcast_to(p, shape2) for p in ps]
+    diff = [r - c for r, c in zip(row, col)]
+    dist2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
+    inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-30))
+    nom = 0.75 * (
+        jnp.broadcast_to(ss.reshape(Sq, 1), shape2)
+        + jnp.broadcast_to(ss, shape2)
+    )
+    tt = nom * inv
+    mag = jnp.where(tt > 1.0, a1_s * (tt - 1.0), 0.0)
+    f_s = jnp.concatenate([
+        (-jnp.sum(mag * dc, axis=1, keepdims=True)).reshape(1, Sq)
+        for dc in diff
+    ], axis=0)  # (3, Sp)
+    f_v = jax.lax.dot_general(
+        f_s, g, (((1,), (1,)), ((), ())), precision=hi,
+        preferred_element_type=f32)  # (3, Vp)
+    return [f_v[c:c + 1, :] for c in range(3)]
+
+
 def _make_kernel(
     X: int,
     Y: int,
@@ -1285,13 +1328,20 @@ def _make_kernel(
                 # One robot at a time: each needs its own (Vp, Vp) pair field.
                 bsz = pos[0].shape[0]
                 col_shared = col_ref.shape[0] == 1
+                compact = bool(flags.get("collision_compact"))
                 fcol = [[], [], []]
                 for r in range(bsz):
                     a1 = col_ref[0 if col_shared else r, :, :]
-                    fr_ = _pair_contact_forces(
-                        tuple(pos[c][r:r + 1, :] for c in range(3)),
-                        scale[r:r + 1, :], a1, f32,
-                    )
+                    if compact:
+                        fr_ = _pair_contact_forces_compact(
+                            tuple(pos[c][r:r + 1, :] for c in range(3)),
+                            scale[r:r + 1, :], a1, Vp, f32,
+                        )
+                    else:
+                        fr_ = _pair_contact_forces(
+                            tuple(pos[c][r:r + 1, :] for c in range(3)),
+                            scale[r:r + 1, :], a1, f32,
+                        )
                     for c in range(3):
                         fcol[c].append(fr_[c])
                 for c in range(3):
@@ -2161,6 +2211,28 @@ def pack_collision(colsys, Vp: int, grid_shape, dtype=jnp.float32):
     return dense.at[flat[:, None], flat[None, :]].add(pair)
 
 
+def pack_collision_compact(colsys, Vp: int, grid_shape, dtype=jnp.float32):
+    """CollisionSystem -> (Vp + Sp, Sp) compact block for
+    `_pair_contact_forces_compact`: a one-hot gather matrix over the Sp
+    (=surface count padded to 128) surface lanes stacked on the compacted
+    (Sp, Sp) pair-stiffness table."""
+    X, Y, Z = grid_shape
+    sidx = np.asarray(colsys.surf_idx)
+    smask = np.asarray(colsys.surf_mask)
+    flat = sidx[:, 0] * (Y * Z) + sidx[:, 1] * Z + sidx[:, 2]
+    S0 = int(smask.sum())
+    Sp = _cdiv(max(S0, 1), 128) * 128
+    g = np.zeros((Vp, Sp), dtype=np.float32)
+    live = np.nonzero(smask)[0]
+    g[flat[live], np.arange(len(live))] = 1.0
+    a1 = np.asarray(colsys.pair_a1)
+    a1_s = np.zeros((Sp, Sp), dtype=np.float32)
+    a1_s[:len(live), :len(live)] = np.where(
+        smask[live][:, None] & smask[live][None, :],
+        a1[np.ix_(live, live)], 0.0)
+    return jnp.asarray(np.concatenate([g, a1_s], axis=0), dtype)
+
+
 def pack_ss_tables(body, Vp: int, dtype=jnp.float32):
     """MDL_DATA per-voxel stress-strain tables -> (2P+3, Vp) channel block
     (xs_0..xs_{P-1}, ys_0..ys_{P-1}, fail_strain, last_stress, last_slope).
@@ -2532,8 +2604,9 @@ def _fused_call(
     inputs = [state_packed, body_packed]
     if dict(flags).get("collision"):
         shared_col = collision_packed.shape[0] == 1
+        # trailing dims are (Vp, Vp) dense or (Vp+Sp, Sp) compact
         col_spec = pl.BlockSpec(
-            (1 if shared_col else b, Vp, Vp),
+            (1 if shared_col else b,) + tuple(collision_packed.shape[1:]),
             (lambda i: (0, 0, 0)) if shared_col else (lambda i: (i, 0, 0)),
             memory_space=pltpu.VMEM,
         )
@@ -2753,10 +2826,26 @@ def fused_rollout(
     state_packed = _pack_state_jit(state, Vp, dtype)
     body_packed = _pack_body_jit(body, Vp, dtype)
     collision_packed = None
+    collision_compact = False
     if sim.self_collisions_enabled and body.collision is not None:
-        collision_packed = pack_collision(
-            body.collision, Vp, (X, Y, Z), dtype
-        )[None]  # shared across the batch
+        import os as _os
+
+        S0 = int(np.asarray(body.collision.surf_mask).sum())
+        Sp = _cdiv(max(S0, 1), 128) * 128
+        # surface-compacted pair pass (one-hot MXU gather/scatter):
+        # opt-in prototype — EVOSORO_TPU_COLL_COMPACT=1 (see
+        # _pair_contact_forces_compact; COLLBENCH.json records the A/B)
+        collision_compact = (
+            _os.environ.get("EVOSORO_TPU_COLL_COMPACT") == "1" and Sp < Vp
+        )
+        if collision_compact:
+            collision_packed = pack_collision_compact(
+                body.collision, Vp, (X, Y, Z), dtype
+            )[None]
+        else:
+            collision_packed = pack_collision(
+                body.collision, Vp, (X, Y, Z), dtype
+            )[None]  # shared across the batch
     ss_packed = None
     if body.ss_strain_vox is not None:
         ss_packed = pack_ss_tables(body, Vp, dtype)
@@ -2781,6 +2870,7 @@ def fused_rollout(
         mdl_data=ss_packed is not None,
         bc=bc_packed is not None,
         collision=collision_packed is not None,
+        collision_compact=collision_compact,
         # deformed-mesh facet drag in-kernel (the production fluid model);
         # same dispatch rule as core.step:887-915
         fluid_mesh=bool(env.fluid_environment and body.mesh_drag is not None),

@@ -114,3 +114,52 @@ def test_rollout_with_collisions_stays_finite():
     res = jax.jit(lambda: rollout(body, sim, env, num_steps=50))()
     assert not bool(res.diverged)
     assert np.all(np.isfinite(np.asarray(res.final_state.pos)))
+
+
+def test_fused_collision_compact_matches_dense():
+    """The surface-compacted pair pass (one-hot MXU gather/scatter,
+    EVOSORO_TPU_COLL_COMPACT=1) must be physics-identical to the dense
+    (Vp, Vp) pass: one-hot matmuls at HIGHEST precision are exact."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from evosoro_tpu.core.materials import build_body, calc_max_dt, \
+        palette_from_list
+    from evosoro_tpu.core.rollout import init_state
+    from evosoro_tpu.core.types import EnvParams, SimParams, \
+        evosoro_default_palette
+    from evosoro_tpu.ops.fused_rollout import fused_rollout
+
+    rng = np.random.default_rng(4)
+    structure = rng.integers(0, 5, size=(5, 5, 5)).astype(np.int32)
+    structure[2, 2, 0] = 3
+    body = attach_collision_system(build_body(
+        structure, palette_from_list(evosoro_default_palette()),
+        phase_offset=rng.uniform(-1, 1, size=structure.shape)))
+    sim = SimParams(init_cm_time=0.0, self_collisions_enabled=True)
+    env = EnvParams()
+    dt = jnp.asarray(calc_max_dt(body)) * jnp.asarray(sim.dt_frac)
+    state = init_state(body)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (8,) + x.shape), state)
+
+    old = os.environ.get("EVOSORO_TPU_COLL_COMPACT")
+    try:
+        os.environ.pop("EVOSORO_TPU_COLL_COMPACT", None)
+        dense, _ = fused_rollout(batched, body, sim, env, num_steps=50,
+                                 dt=dt, interpret=True)
+        os.environ["EVOSORO_TPU_COLL_COMPACT"] = "1"
+        comp, _ = fused_rollout(batched, body, sim, env, num_steps=50,
+                                dt=dt, interpret=True)
+    finally:
+        if old is None:
+            os.environ.pop("EVOSORO_TPU_COLL_COMPACT", None)
+        else:
+            os.environ["EVOSORO_TPU_COLL_COMPACT"] = old
+    np.testing.assert_allclose(np.asarray(comp.pos), np.asarray(dense.pos),
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(comp.linmom),
+                               np.asarray(dense.linmom),
+                               rtol=1e-5, atol=1e-8)

@@ -74,14 +74,23 @@ def fused_with_collisions(batch=256, n=10, steps=200):
     body_c = attach_collision_system(body)
     sim_c = sim.replace(self_collisions_enabled=True)
     assert supports(body_c, sim_c, env)
+    os.environ.pop("EVOSORO_TPU_COLL_COMPACT", None)
     t_coll = _time(run, body_c, sim_c)
+    # r5: surface-compacted pair pass (one-hot MXU gather to Sp lanes)
+    os.environ["EVOSORO_TPU_COLL_COMPACT"] = "1"
+    t_compact = _time(run, body_c, sim_c)
+    os.environ.pop("EVOSORO_TPU_COLL_COMPACT", None)
     S = int(np.asarray(body_c.collision.surf_mask).sum())
     return {
         "batch": batch, "grid": n, "steps": steps, "occupied": n_occ,
         "surface_voxels": S,
         "voxel_steps_per_sec_plain": batch * n_occ * steps / t_plain,
         "voxel_steps_per_sec_with_collision": batch * n_occ * steps / t_coll,
+        "voxel_steps_per_sec_with_collision_compact":
+            batch * n_occ * steps / t_compact,
         "collision_overhead_x": t_coll / t_plain,
+        "collision_compact_overhead_x": t_compact / t_plain,
+        "compact_speedup_x": t_coll / t_compact,
     }
 
 

@@ -100,6 +100,63 @@ def main():
     multi_elapsed = time.perf_counter() - t0
     device_per_solve = multi_elapsed / MULTI
 
+    # --- CLOSED LOOP (the north-star row): execute exec_steps while the
+    # warm-started CEM plans the next window. The whole receding-horizon
+    # run is ONE device program; device time per segment comes from the
+    # difference of two run lengths (cancels the launch overhead). ---
+    from evosoro_tpu.control.shooting import make_fused_mpc_closed_loop
+
+    closed = []
+    if on_tpu:
+        steps_per_knot = PLAN_STEPS // KNOTS
+        warm_grid = [
+            # (warm_iters, warm_pop, exec_knots)
+            (1, 32, 4), (2, 32, 4), (1, 64, 4), (1, 32, 2),
+        ]
+        mean_cold = jnp.asarray(u, jnp.float32)
+        for it_w, pop_w, ek in warm_grid:
+            cfg_w = CEMConfig(num_iters=it_w, pop_size=pop_w,
+                              init_std=cfg.init_std)
+            run, aux = make_fused_mpc_closed_loop(
+                body, sim, env, PLAN_STEPS, KNOTS, exec_knots=ek,
+                config=cfg_w, dt=dt, interpret=not on_tpu)
+            std0 = jnp.full((KNOTS, N, N, N), cfg.init_std, jnp.float32)
+            n1, n2 = 3, 13
+            k1 = jax.random.split(jax.random.PRNGKey(11), n1)
+            k2 = jax.random.split(jax.random.PRNGKey(11), n2)
+            # compile both lengths
+            jax.block_until_ready(run(
+                k1, aux["state8"], aux["stats8"], mean_cold, std0)[2])
+            jax.block_until_ready(run(
+                k2, aux["state8"], aux["stats8"], mean_cold, std0)[2])
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(
+                k1, aux["state8"], aux["stats8"], mean_cold, std0)[2])
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            s8, st8, costs = run(
+                k2, aux["state8"], aux["stats8"], mean_cold, std0)
+            jax.block_until_ready(costs)
+            t2 = time.perf_counter() - t0
+            dev_per_seg = (t2 - t1) / (n2 - n1)
+            exec_s = aux["exec_steps"] * float(dt)
+            cm_end = np.asarray(aux["cm_xy"](s8, st8))
+            disp = float(np.linalg.norm(
+                cm_end - np.asarray(aux["cm_xy"](
+                    aux["state8"], aux["stats8"])))) / float(
+                        body.nominal_size)
+            closed.append(dict(
+                warm_iters=it_w, warm_pop=pop_w, exec_knots=ek,
+                exec_steps=aux["exec_steps"],
+                exec_horizon_s=round(exec_s, 5),
+                device_s_per_segment=round(dev_per_seg, 5),
+                realtime_factor_device=round(exec_s / dev_per_seg, 3),
+                mean_planned_cost=float(np.mean(np.asarray(costs))),
+                executed_norm_dist=round(disp, 4),
+                wall_n1_s=round(t1, 3), wall_n2_s=round(t2, 3),
+            ))
+            print("closed", closed[-1])
+
     # SQP (Gauss–Newton/LM with matrix-free CG on JᵀJ — the "QP kernel"):
     # one solve = num_iters damped-Newton iterations, each a vjp-linearized
     # rollout + cg_iters CG steps of jvp∘vjp products. Already ONE program
@@ -125,6 +182,30 @@ def main():
         sqp_cost = sqp_solve(0.4 + 0.01 * r)
     sqp_elapsed = (time.perf_counter() - t0) / reps
 
+    # FUSED SQP (r5): gradients through the reverse-mode segment kernel,
+    # Jacobian rows as batch lanes, Woodbury-exact GN subproblem
+    from evosoro_tpu.control.sqp import sqp_optimize_fused
+
+    fused_sqp = {}
+    if on_tpu:
+        def fsqp_solve(target):
+            uf, info = sqp_optimize_fused(
+                body, sim, sqp_env, sqp_steps, KNOTS, target=target,
+                config=sqp_cfg, dt=dt, n_res=8)
+            return float(info["best_cost"])
+
+        fs_cost = fsqp_solve(0.4)  # compile
+        t0 = time.perf_counter()
+        for r in range(reps):
+            fs_cost = fsqp_solve(0.4 + 0.01 * r)
+        fs_elapsed = (time.perf_counter() - t0) / reps
+        fused_sqp = {
+            "sqp_fused_solves_per_sec": round(1.0 / fs_elapsed, 3),
+            "sqp_fused_best_cost": float(fs_cost),
+            "sqp_fused_n_res": 8,
+        }
+        print("fused sqp", fused_sqp)
+
     horizon_s = PLAN_STEPS * float(dt)
     rollouts = cfg.num_iters * P
     out = {
@@ -147,14 +228,27 @@ def main():
         "realtime_factor_wall": round(horizon_s / elapsed, 3),
         "realtime_factor_device": round(horizon_s / device_per_solve, 3),
         "best_cost": float(cost),
+        "closed_loop": closed,
     }
+    out.update(fused_sqp)
+    if closed:
+        best_rt = max(c["realtime_factor_device"] for c in closed)
+        out["closed_loop_realtime_factor_device"] = best_rt
     if os.environ.get("PALLAS_AXON_REMOTE_COMPILE"):
         out["note"] = (
             "wall numbers pay ONE ~0.5s axon RPC tunnel launch per solve "
             "(locally-attached chips do not); device_solves_per_sec "
-            "amortizes the launch over lax.map-composed solves"
+            "amortizes the launch over lax.map-composed solves; "
+            "closed_loop device_s_per_segment is a two-length run "
+            "difference, launch-free"
         )
     print(json.dumps(out))
+    if on_tpu:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "MPCBENCH.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print("written", path)
 
 
 if __name__ == "__main__":
