@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--time", type=float, default=5.0)
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--no-collision", action="store_true")
+    ap.add_argument("--jnp-chunk", type=int, default=8,
+                    help="dispatch the jnp arm in slices of this many "
+                         "individuals (0 = one launch); keeps each device "
+                         "launch inside the axon tunnel's budget")
     args = ap.parse_args()
 
     import jax
@@ -136,7 +140,26 @@ def main():
         pop = make_pop()
         pop.already_evaluated = {}
         t0 = _time.time()
-        evaluate_all(sim, env, pop)
+        if mode == "0" and args.jnp_chunk > 0:
+            # the jnp scan path with collision at the full horizon in ONE
+            # 32-wide launch overruns the axon tunnel's per-launch budget
+            # (observed: TPU worker restart mid-execution); dispatch it in
+            # short slices — same program per slice, same physics
+            from evosoro_tpu.evo.evaluation import _dispatch_batch
+            from evosoro_tpu.evo.logging import PrintLog
+
+            plog = PrintLog()
+            inds = [i for i in pop if i.phenotype.is_valid()]
+            for i in pop:
+                if not i.phenotype.is_valid():
+                    for rank, goal in pop.objective_dict.items():
+                        if goal["name"] != "age":
+                            setattr(i, goal["name"], goal["worst_value"])
+            for s in range(0, len(inds), args.jnp_chunk):
+                _dispatch_batch(sim, env, pop,
+                                inds[s:s + args.jnp_chunk], plog)
+        else:
+            evaluate_all(sim, env, pop)
         wall[mode] = _time.time() - t0
         fits[mode] = np.array([ind.fitness for ind in pop])
         print(f"mode={'fused' if mode == '1' else 'jnp'} "
