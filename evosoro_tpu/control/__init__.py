@@ -28,8 +28,10 @@ from evosoro_tpu.control.shooting import (  # noqa: F401
     mpc_run,
 )
 from evosoro_tpu.control.sqp import (  # noqa: F401
+    FusedSQPSolver,
     SQPConfig,
     locomotion_sqp,
     sqp_optimize,
+    sqp_optimize_fused,
     sqp_optimize_multistart,
 )

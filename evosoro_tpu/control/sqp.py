@@ -178,22 +178,17 @@ def sqp_optimize(
     )
 
 
-def sqp_optimize_fused(
-    body: VoxelBody,
-    sim: SimParams,
-    env: EnvParams,
-    num_steps: int,
-    num_knots: int,
-    target=0.5,
-    config: SQPConfig = SQPConfig(),
-    state0: SimState | None = None,
-    dt=None,
-    init_u=None,
-    n_res: int = 8,
-    interpret: bool = False,
-):
+class FusedSQPSolver:
     """Projected Gauss–Newton/LM shooting riding the FUSED kernel
     (VERDICT r4 weak #2: the differentiable path no longer bypasses it).
+
+    Construct ONCE per (body, sim, env, horizon) and call `.solve(target)`
+    many times: the jitted solve program (and the Pallas forward/backward
+    segment kernels inside it) is built at first call and reused — `target`
+    and the warm-start `init_u` are traced arguments, so re-planning with a
+    new target is a pure device launch, not a retrace. (The r4 bench's
+    0.058 solves/s was exactly this mistake: a fresh `@jax.jit` closure per
+    solve re-traced and re-compiled the whole program every call.)
 
     Same formulation as `sqp_optimize` with two structural upgrades that
     the fused path makes natural:
@@ -212,113 +207,164 @@ def sqp_optimize_fused(
     Gradients come from the reverse-mode segment kernel (checkpointed
     VMEM recompute), gradchecked against the jnp BPTT in
     tests/test_fused_diff.py."""
-    from evosoro_tpu.core.materials import calc_max_dt
-    from evosoro_tpu.ops.fused_diff import DiffRollout
 
-    X, Y, Z = body.occ.shape
-    if state0 is None:
-        state0 = init_state(body)
-    if dt is None:
-        dt = calc_max_dt(body) * sim.dt_frac
-    dtype = jnp.float32
-    batch = max(8, -(-n_res // 8) * 8)
-    batched0 = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state0
-    )
+    def __init__(
+        self,
+        body: VoxelBody,
+        sim: SimParams,
+        env: EnvParams,
+        num_steps: int,
+        num_knots: int,
+        config: SQPConfig = SQPConfig(),
+        state0: SimState | None = None,
+        dt=None,
+        n_res: int = 8,
+        interpret: bool = False,
+    ):
+        from evosoro_tpu.core.materials import calc_max_dt
+        from evosoro_tpu.ops.fused_diff import DiffRollout
 
-    dr = DiffRollout(
-        body, sim, env, num_steps=num_steps, num_knots=num_knots, dt=dt,
-        batch=batch, n_segs=n_res, batch_block=8, interpret=interpret,
-    )
-    sp0 = dr.init_packed(batched0)
-    stats0 = dr.stats0
-    Vp = dr.Vp
-    P = num_knots * Vp
-    L = body.nominal_size
-
-    tgt = jnp.asarray(target, dtype)
-    if tgt.ndim == 0:
-        tgt = tgt * jnp.arange(1, n_res + 1, dtype=dtype) / n_res
-
-    u0 = (jnp.zeros((num_knots, X, Y, Z), dtype) if init_u is None
-          else jnp.asarray(init_u, dtype))
-    u0p = dr.pack_controls(u0[None])[0]  # (K, Vp)
-
-    def cms_fn(u8p):
-        cms, _, _ = dr(sp0, stats0, u8p)
-        return cms  # (n_res, batch) boundary x batch-row
-
-    eye_cot = jnp.eye(n_res, batch, dtype=dtype)
-    w2 = jnp.asarray(config.w_reg, dtype) ** 2
-
-    def resid_parts(cms_col):
-        d_cm = (cms_col - cms_col[0]) / L
-        return config.w_track * (d_cm - tgt)
-
-    def cost_of(u8p, cms_col):
-        r_track = resid_parts(cms_col)
-        return 0.5 * (jnp.vdot(r_track, r_track)
-                      + w2 * jnp.vdot(u8p[0], u8p[0]))
-
-    def iteration(carry, _):
-        up, lam, best_cost = carry
-        u8p = jnp.broadcast_to(up[None], (batch,) + up.shape)
-        cms, pullback = jax.vjp(cms_fn, u8p)
-        # one backward, n_res Jacobian rows: row i of the cotangent block
-        # selects boundary i on batch row i
-        (j_rows,) = pullback(eye_cot)
-        j_rows = j_rows[:n_res]  # (n_res, K, Vp) = ∂cm_i/∂u
-        jt = (j_rows - j_rows[0:1]).reshape(n_res, P) * (
-            config.w_track / L)
-        r_track = resid_parts(cms[:, 0])
-        cost = 0.5 * (jnp.vdot(r_track, r_track)
-                      + w2 * jnp.vdot(up, up))
-
-        g = jt.T @ r_track + w2 * up.reshape(P)
-        c = lam + w2
-        A = jt @ jt.T + c * jnp.eye(n_res, dtype=dtype)
-        y = jnp.linalg.solve(A, jt @ g)
-        delta = -(g - jt.T @ y) / c
-        u_new = jnp.clip(
-            up + delta.reshape(up.shape), -config.u_clip, config.u_clip
+        X, Y, Z = body.occ.shape
+        if state0 is None:
+            state0 = init_state(body)
+        if dt is None:
+            dt = calc_max_dt(body) * sim.dt_frac
+        dtype = jnp.float32
+        batch = max(8, -(-n_res // 8) * 8)
+        batched0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state0
         )
 
-        u8_new = jnp.broadcast_to(u_new[None], (batch,) + u_new.shape)
-        cms_new, _, _ = dr(sp0, stats0, u8_new)
-        r_new = resid_parts(cms_new[:, 0])
-        cost_new = 0.5 * (jnp.vdot(r_new, r_new)
-                          + w2 * jnp.vdot(u_new, u_new))
-        accept = cost_new < cost
-        up = jnp.where(accept, u_new, up)
-        lam = jnp.where(accept, lam * config.lm_down, lam * config.lm_up)
-        best_cost = jnp.minimum(best_cost, jnp.minimum(cost, cost_new))
-        return (up, lam, best_cost), dict(cost=cost, cost_new=cost_new,
-                                          accepted=accept)
-
-    @jax.jit
-    def solve(u0p):
-        init = (u0p, jnp.asarray(config.lm_lambda0, dtype),
-                jnp.asarray(jnp.inf, dtype))
-        (up, lam, best_cost), trace = jax.lax.scan(
-            iteration, init, None, length=config.num_iters
+        dr = DiffRollout(
+            body, sim, env, num_steps=num_steps, num_knots=num_knots, dt=dt,
+            batch=batch, n_segs=n_res, batch_block=8, interpret=interpret,
         )
-        u8p = jnp.broadcast_to(up[None], (batch,) + up.shape)
-        cms_f, _, _ = dr(sp0, stats0, u8p)
-        r_f = resid_parts(cms_f[:, 0])
-        final_cost = 0.5 * (jnp.vdot(r_f, r_f) + w2 * jnp.vdot(up, up))
-        return up, lam, best_cost, final_cost, trace
+        sp0 = dr.init_packed(batched0)
+        stats0 = dr.stats0
+        Vp = dr.Vp
+        P = num_knots * Vp
+        L = body.nominal_size
 
-    up, lam, best_cost, final_cost, trace = solve(u0p)
-    # unpack lanes -> (K, X, Y, Z)
-    V = X * Y * Z
-    u = up[:, :V].reshape(num_knots, X, Y, Z)
-    return u, dict(
-        final_cost=final_cost,
-        best_cost=best_cost,
-        cost_trace=trace["cost"],
-        accepted_trace=trace["accepted"],
-        lm_lambda=lam,
+        self._shape = (X, Y, Z)
+        self._dtype = dtype
+        self._dr = dr
+        self._n_res = n_res
+        self._num_knots = num_knots
+        self.dt = dt
+
+        def cms_fn(u8p):
+            cms, _, _ = dr(sp0, stats0, u8p)
+            return cms  # (n_res, batch) boundary x batch-row
+
+        eye_cot = jnp.eye(n_res, batch, dtype=dtype)
+        w2 = jnp.asarray(config.w_reg, dtype) ** 2
+
+        def resid_parts(cms_col, tgt):
+            d_cm = (cms_col - cms_col[0]) / L
+            return config.w_track * (d_cm - tgt)
+
+        def iteration(carry, _):
+            up, lam, best_cost, tgt = carry
+            u8p = jnp.broadcast_to(up[None], (batch,) + up.shape)
+            cms, pullback = jax.vjp(cms_fn, u8p)
+            # one backward, n_res Jacobian rows: row i of the cotangent
+            # block selects boundary i on batch row i
+            (j_rows,) = pullback(eye_cot)
+            j_rows = j_rows[:n_res]  # (n_res, K, Vp) = ∂cm_i/∂u
+            jt = (j_rows - j_rows[0:1]).reshape(n_res, P) * (
+                config.w_track / L)
+            r_track = resid_parts(cms[:, 0], tgt)
+            cost = 0.5 * (jnp.vdot(r_track, r_track)
+                          + w2 * jnp.vdot(up, up))
+
+            g = jt.T @ r_track + w2 * up.reshape(P)
+            c = lam + w2
+            A = jt @ jt.T + c * jnp.eye(n_res, dtype=dtype)
+            y = jnp.linalg.solve(A, jt @ g)
+            delta = -(g - jt.T @ y) / c
+            u_new = jnp.clip(
+                up + delta.reshape(up.shape), -config.u_clip, config.u_clip
+            )
+
+            u8_new = jnp.broadcast_to(u_new[None], (batch,) + u_new.shape)
+            cms_new, _, _ = dr(sp0, stats0, u8_new)
+            r_new = resid_parts(cms_new[:, 0], tgt)
+            cost_new = 0.5 * (jnp.vdot(r_new, r_new)
+                              + w2 * jnp.vdot(u_new, u_new))
+            accept = cost_new < cost
+            up = jnp.where(accept, u_new, up)
+            lam = jnp.where(accept, lam * config.lm_down, lam * config.lm_up)
+            best_cost = jnp.minimum(best_cost, jnp.minimum(cost, cost_new))
+            return (up, lam, best_cost, tgt), dict(
+                cost=cost, cost_new=cost_new, accepted=accept)
+
+        @jax.jit
+        def solve(u0p, tgt):
+            init = (u0p, jnp.asarray(config.lm_lambda0, dtype),
+                    jnp.asarray(jnp.inf, dtype), tgt)
+            (up, lam, best_cost, _), trace = jax.lax.scan(
+                iteration, init, None, length=config.num_iters
+            )
+            u8p = jnp.broadcast_to(up[None], (batch,) + up.shape)
+            cms_f, _, _ = dr(sp0, stats0, u8p)
+            r_f = resid_parts(cms_f[:, 0], tgt)
+            final_cost = 0.5 * (jnp.vdot(r_f, r_f) + w2 * jnp.vdot(up, up))
+            return up, lam, best_cost, final_cost, trace
+
+        self._solve = solve
+
+    def _target_profile(self, target):
+        """Scalar target -> linear displacement ramp over the trace points
+        (resolved on the host so both forms hit ONE jit cache entry)."""
+        tgt = jnp.asarray(target, self._dtype)
+        if tgt.ndim == 0:
+            tgt = tgt * jnp.arange(
+                1, self._n_res + 1, dtype=self._dtype) / self._n_res
+        return tgt
+
+    def solve(self, target=0.5, init_u=None):
+        """One warm-startable solve: pure device launches after the first
+        call. Returns (u, info) exactly like `sqp_optimize`."""
+        X, Y, Z = self._shape
+        u0 = (jnp.zeros((self._num_knots, X, Y, Z), self._dtype)
+              if init_u is None else jnp.asarray(init_u, self._dtype))
+        u0p = self._dr.pack_controls(u0[None])[0]  # (K, Vp)
+        up, lam, best_cost, final_cost, trace = self._solve(
+            u0p, self._target_profile(target))
+        V = X * Y * Z
+        u = up[:, :V].reshape(self._num_knots, X, Y, Z)
+        return u, dict(
+            final_cost=final_cost,
+            best_cost=best_cost,
+            cost_trace=trace["cost"],
+            accepted_trace=trace["accepted"],
+            lm_lambda=lam,
+        )
+
+
+def sqp_optimize_fused(
+    body: VoxelBody,
+    sim: SimParams,
+    env: EnvParams,
+    num_steps: int,
+    num_knots: int,
+    target=0.5,
+    config: SQPConfig = SQPConfig(),
+    state0: SimState | None = None,
+    dt=None,
+    init_u=None,
+    n_res: int = 8,
+    interpret: bool = False,
+):
+    """One-shot convenience wrapper over `FusedSQPSolver` (builds the
+    solver, solves once). For repeated solves — MPC re-planning, target
+    sweeps — construct `FusedSQPSolver` once and call `.solve()`: this
+    wrapper pays the full trace/compile on EVERY call."""
+    solver = FusedSQPSolver(
+        body, sim, env, num_steps, num_knots, config=config, state0=state0,
+        dt=dt, n_res=n_res, interpret=interpret,
     )
+    return solver.solve(target=target, init_u=init_u)
 
 
 def sqp_optimize_multistart(

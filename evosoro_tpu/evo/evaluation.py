@@ -520,8 +520,29 @@ def evaluate_all(
 LAST_DISPATCH_TIMING: dict = {}
 
 
+def _ladder_steps(n: int) -> int:
+    """Quantize a scan length UP to the {1, 1.25, 1.5, 1.75}·2^k·256
+    ladder. The exact worst-case dt drifts with every mutation; an
+    unquantized scan length would give the rollout program a fresh jit
+    cache key — and a full recompile — almost every generation. The ladder
+    costs ≤25% padded steps (stopped rollouts freeze, so padded steps are
+    cheap-but-not-free dense compute) and bounds the number of distinct
+    compiled programs to a handful per experiment."""
+    base = 256
+    while base < n:
+        base *= 2
+    if base == 256:
+        return 256
+    lo = base // 2
+    for m in (1.25, 1.5, 1.75, 2.0):
+        v = int(lo * m)
+        if v >= n:
+            return v
+    return base
+
+
 def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
-                    devices=None):
+                    devices=None, _bucketed=False):
     from evosoro_tpu.core.materials import devo_params_from_vxa
     from evosoro_tpu.core.types import EnvParams, SimParams  # noqa: F401
 
@@ -575,6 +596,61 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
 
     field_names = sorted(set().union(*[set(f) for f in all_fields]) - {"structure"})
     B = len(inds)
+
+    palette = palette_from_list(_experiment_palette(env))
+    palette_np = {
+        "elastic_mod": np.asarray(palette.elastic_mod),
+        "density": np.asarray(palette.density),
+        "poisson": np.asarray(palette.poisson),
+    }
+    L = env.lattice_dimension
+    vol_on = bool(sim_params_for_devo.volume_effects_enabled)
+    stop_time = float(sim.simulation_time)
+
+    def _steps_for(f):
+        # per-design scan length: CalcMaxDt is design-dependent
+        # (reference: VX_Sim.cpp:1693-1727)
+        f2 = _np_max_dt(f["structure"], None, f.get("stiffness"),
+                        palette_np, volume_effects=vol_on)
+        freq = np.sqrt(f2 / (L * L))
+        mdt = ((1.0 / (2 * np.pi * freq)) * sim.dt_frac
+               if freq > 0 else 1e-4)
+        s = int(np.ceil(stop_time / mdt)) + 1
+        if vol_on:
+            # in-step dt recomputation can shrink dt under compression
+            s = int(np.ceil(s * 1.15))
+        return _ladder_steps(s)
+
+    per_steps = [_steps_for(f) for f in all_fields]
+    buckets = sorted(set(per_steps))
+    if len(buckets) > 1 and not _bucketed:
+        # dt-bucketed dispatch: one launch per scan-length bucket, so a
+        # single stiff mutant (small dt -> 10x the steps) doesn't make the
+        # WHOLE generation ride its scan length — every lane of a shared
+        # scan burns full stencil compute even after its rollout freezes.
+        # Buckets reuse the same ladder as the jit cache, so each group
+        # hits an already-compiled program.
+        merged = dict(host_fields_s=0.0, host_collision_s=0.0,
+                      host_prep_s=0.0, device_s=0.0, batch=0,
+                      batch_padded=0, num_steps=max(per_steps),
+                      used_fused=True, buckets=[])
+        for bval in buckets:
+            group = [ind for ind, s in zip(inds, per_steps) if s == bval]
+            _dispatch_batch(sim, env, pop, group, print_log,
+                            batch_pad=batch_pad, devices=devices,
+                            _bucketed=True)
+            for k in ("host_fields_s", "host_collision_s", "host_prep_s",
+                      "device_s"):
+                merged[k] += _tm.get(k, 0.0)
+            merged["batch"] += _tm.get("batch", 0)
+            merged["batch_padded"] += _tm.get("batch_padded", 0)
+            merged["used_fused"] = (merged["used_fused"]
+                                    and _tm.get("used_fused", False))
+            merged["buckets"].append(
+                dict(num_steps=bval, batch=len(group)))
+        _tm.clear()
+        _tm.update(merged)
+        return
     # data-parallel sharding over local devices (the production multi-chip
     # path, SURVEY.md §2.4): only as many shards as the generation can fill
     # with whole batch_blocks
@@ -615,40 +691,20 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
         }
         grid = tuple(g + 1 for g in grid)
 
+    # numpy stack: host prep must not issue eager device ops — on a
+    # tunneled TPU backend every eager jnp op is an RPC round trip (the
+    # r5 EVOBENCH profile measured ~50 s/generation of pure host-prep
+    # eager-dispatch overhead before this was hoisted off-device)
     env_batch = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack([jnp.asarray(x, dtype=jnp.float32) for x in xs]),
+        lambda *xs: np.stack([np.asarray(x, dtype=np.float32) for x in xs]),
         *(all_env + [all_env[0]] * (Bp - B)),
     )
 
-    palette = palette_from_list(_experiment_palette(env))
     sim_params = sim.to_sim_params()
 
-    # static scan length: worst-case (smallest dt) over the batch
-    palette_np = {
-        "elastic_mod": np.asarray(palette.elastic_mod),
-        "density": np.asarray(palette.density),
-        "poisson": np.asarray(palette.poisson),
-    }
-    L = env.lattice_dimension
-    vol_on = bool(sim_params.volume_effects_enabled)
-    max_f2 = max(
-        _np_max_dt(
-            f["structure"],
-            None,
-            f.get("stiffness"),
-            palette_np,
-            volume_effects=vol_on,
-        )
-        for f in all_fields
-    )
-    # a1/m = E_comp*L/(rho*L^3) = E_comp/(rho*L^2)
-    max_freq = np.sqrt(max_f2 / (L * L))
-    min_dt = (1.0 / (2 * np.pi * max_freq)) * sim.dt_frac if max_freq > 0 else 1e-4
-    stop_time = float(sim.simulation_time)
-    num_steps = int(np.ceil(stop_time / min_dt)) + 1
-    if vol_on:
-        # in-step dt recomputation can shrink dt under compression
-        num_steps = int(np.ceil(num_steps * 1.15))
+    # static scan length: worst case over the (dt-bucketed) batch, on the
+    # ladder so the jit cache key is stable across generations
+    num_steps = max(per_steps)
 
     # self-collision: every reference experiment defaults
     # SelfColEnabled=1 (base.py:24, read_write_voxelyze.py:73), so the
@@ -689,10 +745,14 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
 
     force = os.environ.get("EVOSORO_TPU_FUSED_EVAL")
     on_tpu = jax.devices()[0].platform == "tpu"
-    probe_body = build_body(
-        structures[0], palette, lattice_dim=L,
-        **{k: voxel_fields[k][0] for k in field_names},
-    )
+    # the probe body exists only to ask supports(); build it on the CPU
+    # backend — eagerly building it through a tunneled TPU backend costs
+    # ~40 s of per-op RPC round trips (r5 EVOBENCH host-prep profile)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        probe_body = build_body(
+            structures[0], palette, lattice_dim=L,
+            **{k: voxel_fields[k][0] for k in field_names},
+        )
     if with_collision:
         probe_body = probe_body.replace(collision=collision_systems[0])
     can_fuse = fused_supports(probe_body, sim_params, all_env[0])
@@ -725,7 +785,9 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
             from evosoro_tpu.ops.fused_rollout import pack_collision
 
             Vp = -(-int(np.prod(grid)) // 128) * 128
-            extra_args = (jnp.stack([
+            # pack_collision returns host arrays; np.stack keeps the whole
+            # pair-field batch on the host until the ONE jitted launch
+            extra_args = (np.stack([
                 pack_collision(cs, Vp, tuple(grid))
                 for cs in collision_systems
             ]),)
@@ -738,7 +800,7 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
             s_max = max(cs.surf_idx.shape[0] for cs in collision_systems)
             s_max = -(-s_max // 64) * 64
             extra_args = (jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs),
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
                 *[pad_collision_system(cs, s_max)
                   for cs in collision_systems],
             ),)
@@ -759,7 +821,8 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
             ]
             mesh_systems += [mesh_systems[0]] * (Bp - B)
             extra_args = extra_args + (jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *mesh_systems),)
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                *mesh_systems),)
 
     eval_mesh = None
     if use_fused and n_shards > 1:

@@ -2201,14 +2201,21 @@ def pack_collision(colsys, Vp: int, grid_shape, dtype=jnp.float32):
     lattice-nearby exclusion (reference candidate-list semantics,
     VX_Sim.cpp:2357-2414) and self-pairs."""
     X, Y, Z = grid_shape
-    sidx = colsys.surf_idx
+    # numpy throughout: this runs EAGERLY per individual per generation on
+    # the evaluator host path, and eager jnp ops on a tunneled TPU backend
+    # each cost an RPC round trip (measured ~4 s/individual; numpy is ~ms)
+    sidx = np.asarray(colsys.surf_idx)
+    smask = np.asarray(colsys.surf_mask).astype(bool)
     flat = sidx[:, 0] * (Y * Z) + sidx[:, 1] * Z + sidx[:, 2]  # (S,)
-    mask2 = colsys.surf_mask[:, None] & colsys.surf_mask[None, :]
-    pair = jnp.where(mask2, colsys.pair_a1, 0.0).astype(dtype)
-    dense = jnp.zeros((Vp, Vp), dtype)
-    # .add not .set: pad entries carry flat index 0 and must not clobber a
-    # real voxel-0 row (their pair values are 0)
-    return dense.at[flat[:, None], flat[None, :]].add(pair)
+    mask2 = smask[:, None] & smask[None, :]
+    pair = np.where(mask2, np.asarray(colsys.pair_a1), 0.0).astype(np.float32)
+    dense = np.zeros((Vp, Vp), np.float32)
+    # add not assignment: pad entries carry flat index 0 and must not
+    # clobber a real voxel-0 row (their pair values are 0)
+    np.add.at(dense, (flat[:, None], flat[None, :]), pair)
+    # host array out: batch callers np.stack B of these and pay ONE
+    # host->device transfer at the jitted launch instead of B eager ones
+    return dense
 
 
 def pack_collision_compact(colsys, Vp: int, grid_shape, dtype=jnp.float32):

@@ -184,14 +184,20 @@ def main():
 
     # FUSED SQP (r5): gradients through the reverse-mode segment kernel,
     # Jacobian rows as batch lanes, Woodbury-exact GN subproblem
-    from evosoro_tpu.control.sqp import sqp_optimize_fused
+    from evosoro_tpu.control.sqp import FusedSQPSolver
 
     fused_sqp = {}
     if on_tpu:
+        # construct ONCE: the jitted solve (and both Pallas segment
+        # kernels) compile at the first .solve(); each further target is a
+        # pure device launch (r4's 0.058 solves/s measured a per-call
+        # re-jit, not the kernel)
+        fsolver = FusedSQPSolver(
+            body, sim, sqp_env, sqp_steps, KNOTS, config=sqp_cfg, dt=dt,
+            n_res=8)
+
         def fsqp_solve(target):
-            uf, info = sqp_optimize_fused(
-                body, sim, sqp_env, sqp_steps, KNOTS, target=target,
-                config=sqp_cfg, dt=dt, n_res=8)
+            uf, info = fsolver.solve(target=target)
             return float(info["best_cost"])
 
         fs_cost = fsqp_solve(0.4)  # compile
