@@ -158,11 +158,15 @@ def build_collision_system(
     pair_a1 = (e_comp * float(lattice_dim)).astype(dtype)
     pair_a1 = np.where(allowed, pair_a1, 0.0).astype(dtype)
 
+    # host (numpy) arrays out: the tables are built per individual per
+    # generation on the evaluator host path, and eager jnp.asarray on a
+    # tunneled TPU backend costs an RPC round trip per field; batch
+    # callers stack these and pay one transfer at the jitted launch
     return CollisionSystem(
-        surf_idx=jnp.asarray(surf_idx),
-        surf_mask=jnp.asarray(surf_mask),
-        pair_a1=jnp.asarray(pair_a1),
-        allowed=jnp.asarray(allowed),
+        surf_idx=surf_idx,
+        surf_mask=surf_mask,
+        pair_a1=pair_a1,
+        allowed=allowed,
     )
 
 
@@ -175,11 +179,14 @@ def pad_collision_system(cs: CollisionSystem, S: int) -> CollisionSystem:
     if S0 > S:
         raise ValueError(f"cannot shrink collision system {S0} -> {S}")
     pad = S - S0
+    # numpy when given numpy (the host-prep path must not issue eager
+    # device ops); jnp inputs (inside jit) still flow through jnp.pad
+    xp = np if isinstance(cs.pair_a1, np.ndarray) else jnp
     return CollisionSystem(
-        surf_idx=jnp.pad(cs.surf_idx, ((0, pad), (0, 0))),
-        surf_mask=jnp.pad(cs.surf_mask, (0, pad)),
-        pair_a1=jnp.pad(cs.pair_a1, ((0, pad), (0, pad))),
-        allowed=jnp.pad(cs.allowed, ((0, pad), (0, pad))),
+        surf_idx=xp.pad(cs.surf_idx, ((0, pad), (0, 0))),
+        surf_mask=xp.pad(cs.surf_mask, (0, pad)),
+        pair_a1=xp.pad(cs.pair_a1, ((0, pad), (0, pad))),
+        allowed=xp.pad(cs.allowed, ((0, pad), (0, pad))),
     )
 
 

@@ -623,7 +623,23 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
 
     per_steps = [_steps_for(f) for f in all_fields]
     buckets = sorted(set(per_steps))
-    if len(buckets) > 1 and not _bucketed:
+
+    # per-launch batch cap: with self-collision on, every individual ships
+    # a dense (Vp, Vp) pair field — a 1024-individual 10^3 generation is
+    # ~3.5 GB of launch operands, which overruns the axon tunnel's
+    # per-launch budget (observed: TPU worker restart mid-execution).
+    # Slice generations so one launch stays inside ~EVOSORO_TPU_PAIR_BYTES
+    # (default 1 GiB) of pair fields; slices are dispatched back-to-back
+    # and jax's async dispatch overlaps transfer with compute.
+    import os as _os
+
+    cap = len(inds)
+    if bool(sim_params_for_devo.self_collisions_enabled):
+        Vp_est = -(-int(np.prod(grid)) // 128) * 128
+        budget = int(_os.environ.get("EVOSORO_TPU_PAIR_BYTES", 2 ** 30))
+        cap = max(batch_pad, budget // max(1, Vp_est * Vp_est * 4))
+
+    if (len(buckets) > 1 or len(inds) > cap) and not _bucketed:
         # dt-bucketed dispatch: one launch per scan-length bucket, so a
         # single stiff mutant (small dt -> 10x the steps) doesn't make the
         # WHOLE generation ride its scan length — every lane of a shared
@@ -636,18 +652,20 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
                       used_fused=True, buckets=[])
         for bval in buckets:
             group = [ind for ind, s in zip(inds, per_steps) if s == bval]
-            _dispatch_batch(sim, env, pop, group, print_log,
-                            batch_pad=batch_pad, devices=devices,
-                            _bucketed=True)
-            for k in ("host_fields_s", "host_collision_s", "host_prep_s",
-                      "device_s"):
-                merged[k] += _tm.get(k, 0.0)
-            merged["batch"] += _tm.get("batch", 0)
-            merged["batch_padded"] += _tm.get("batch_padded", 0)
-            merged["used_fused"] = (merged["used_fused"]
-                                    and _tm.get("used_fused", False))
-            merged["buckets"].append(
-                dict(num_steps=bval, batch=len(group)))
+            for lo in range(0, len(group), cap):
+                chunk = group[lo:lo + cap]
+                _dispatch_batch(sim, env, pop, chunk, print_log,
+                                batch_pad=batch_pad, devices=devices,
+                                _bucketed=True)
+                for k in ("host_fields_s", "host_collision_s",
+                          "host_prep_s", "device_s"):
+                    merged[k] += _tm.get(k, 0.0)
+                merged["batch"] += _tm.get("batch", 0)
+                merged["batch_padded"] += _tm.get("batch_padded", 0)
+                merged["used_fused"] = (merged["used_fused"]
+                                        and _tm.get("used_fused", False))
+                merged["buckets"].append(
+                    dict(num_steps=bval, batch=len(chunk)))
         _tm.clear()
         _tm.update(merged)
         return
