@@ -698,6 +698,18 @@ def _pair_contact_forces(p3, s, a1, f32):
     ~0.4× work. Every variant measured at or above dense; tiles only pay
     off beyond ~2k lanes, where the dense table outgrows VMEM anyway.
 
+    r5 measured dead end — surface-compacted pair pass
+    (`_pair_contact_forces_compact`, opt-in EVOSORO_TPU_COLL_COMPACT=1):
+    gather the Sp=768 surface lanes with a one-hot (Vp, Sp) MXU matmul,
+    evaluate the (Sp, Sp) pair field (1.8× fewer pair elements at the
+    bench body's 653 surface voxels), scatter back through the same
+    one-hot. Measured 69.9M vs dense 74.4M voxel-steps/s (0.94×,
+    COLLBENCH.json r5): the two HIGHEST-precision MXU passes per step
+    (f32 emulation ≈ 6 bf16 passes each) plus their VREG↔MXU relayouts
+    cost more than the 1.8× saved VPU pair work. Would only win when
+    Sp/Vp is far smaller — i.e. large solid bodies, the opposite of
+    evolved porous soft robots.
+
     p3: tuple of 3 (1, Vp) position channels; s: (1, Vp) scale;
     a1: (Vp, Vp). Returns 3 (1, Vp) force channels (force ON voxel i).
     """

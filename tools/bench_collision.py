@@ -132,7 +132,13 @@ def main():
                  "rate, each pl.when + scalar VMEM read costs ~0.5us, and "
                  "the porous 10^3 body keeps 15/36 tiles hot with ~100 "
                  "permanent rest contacts) — see _pair_contact_forces "
-                 "docstring for the numbers."),
+                 "docstring for the numbers. r5: the surface-compacted "
+                 "one-hot MXU gather/scatter pass (verdict weak #3's "
+                 "untried idea) also MEASURED SLOWER (compact_speedup_x "
+                 "row): two HIGHEST-precision MXU passes per step cost "
+                 "more than the 1.8x saved pair elements at Sp/Vp=0.75; "
+                 "it stays an opt-in (EVOSORO_TPU_COLL_COMPACT=1) and the "
+                 "dense pass stays the default."),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "COLLBENCH.json")
