@@ -391,25 +391,50 @@ class Population:
         return not np.any(wins)
 
     def calc_dominance(self):
-        """O(pop²) dominance lists + pareto level (reference: :515-543)."""
+        """Dominance lists + pareto level (reference: :515-543).
+
+        Same semantics as the reference's nested python loops, vectorized
+        to numpy pairwise matrices — the loops cost ~250 s/generation at a
+        3000-individual selection pool (measured on the pop-1024 EVOBENCH
+        config), the matrices cost milliseconds. Matched semantics:
+        ind is dominated by other iff ind strictly beats other on NO
+        non-logging objective (full ties count), EXCEPT a mutual
+        (all-tied) pair only penalizes the lower id — the reference's
+        `ind.id not in other_ind.dominated_by` guard under ascending-id
+        processing order. NaN objectives lose every comparison, exactly
+        like python `>`/`<`."""
         self.sort(key="id", reverse=False)
 
         self.non_dominated_size = 0
-        for ind in self:
-            ind.dominated_by = []
-            ind.pareto_level = 0
+        n = len(self.individuals)
+        inds = self.individuals
+        ids = np.array([ind.id for ind in inds])
 
-        for ind in self:
-            for other_ind in self:
-                if other_ind.id != ind.id:
-                    if self.dominated_in_multiple_objectives(ind, other_ind) and (
-                        ind.id not in other_ind.dominated_by
-                    ):
-                        ind.dominated_by += [other_ind.id]
+        wins = np.zeros((n, n), dtype=bool)
+        for rank in reversed(range(len(self.objective_dict))):
+            goal = self.objective_dict[rank]
+            if goal["logging_only"]:
+                continue
+            v = np.array([getattr(ind, goal["name"]) for ind in inds],
+                         dtype=np.float64)
+            if goal["maximize"]:
+                wins |= v[:, None] > v[None, :]
+            else:
+                wins |= v[:, None] < v[None, :]
 
-            if ind.fitness == self.objective_dict[0]["worst_value"]:
-                ind.dominated_by += [ind.id for _ in range(self.pop_size * 2)]
+        dominated = ~wins  # [i, j]: i beats j nowhere -> i dominated by j
+        np.fill_diagonal(dominated, False)
+        # mutual (tied) pairs: only the earlier-processed (lower-id) side
+        # records the domination
+        mutual = dominated & dominated.T
+        dominated &= ~(mutual & np.tri(n, n, -1, dtype=bool))
 
-            ind.pareto_level = len(ind.dominated_by)
+        worst = self.objective_dict[0]["worst_value"]
+        for i, ind in enumerate(inds):
+            dom_ids = ids[dominated[i]].tolist()
+            if ind.fitness == worst:
+                dom_ids += [ind.id] * (self.pop_size * 2)
+            ind.dominated_by = dom_ids
+            ind.pareto_level = len(dom_ids)
             if ind.pareto_level == 0:
                 self.non_dominated_size += 1
