@@ -520,6 +520,29 @@ def evaluate_all(
 LAST_DISPATCH_TIMING: dict = {}
 
 
+def _ladder_count(m: int) -> int:
+    """Smallest {1, 1.5}·2^k integer ≥ m — the batch-size ladder (in
+    batch_pad units). Same motivation as `_ladder_steps`: every distinct
+    padded batch shape is a fresh XLA program; the ladder bounds the
+    number of compiled programs at ≤33% padded-lane cost."""
+    if m <= 1:
+        return 1
+    k = int(np.floor(np.log2(m)))
+    for c in (2 ** k, 3 * 2 ** (k - 1) if k >= 1 else 2 ** k, 2 ** (k + 1)):
+        if c >= m:
+            return int(c)
+    return int(2 ** (k + 1))
+
+
+def _ladder_count_down(m: int) -> int:
+    """Largest {1, 1.5}·2^k integer ≤ m (≥1) — used to size dispatch
+    slices so successive generations' slice shapes repeat exactly."""
+    m = max(1, m)
+    k = int(np.floor(np.log2(m)))
+    c = 3 * 2 ** (k - 1) if k >= 1 else 1
+    return int(c) if c <= m else int(2 ** k)
+
+
 def _ladder_steps(n: int) -> int:
     """Quantize a scan length UP to the {1, 1.25, 1.5, 1.75}·2^k·256
     ladder. The exact worst-case dt drifts with every mutation; an
@@ -634,12 +657,32 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
     import os as _os
 
     cap = len(inds)
-    if bool(sim_params_for_devo.self_collisions_enabled):
+    coll_on = bool(sim_params_for_devo.self_collisions_enabled)
+    if coll_on:
         Vp_est = -(-int(np.prod(grid)) // 128) * 128
         budget = int(_os.environ.get("EVOSORO_TPU_PAIR_BYTES", 2 ** 30))
         cap = max(batch_pad, budget // max(1, Vp_est * Vp_est * 4))
 
-    if (len(buckets) > 1 or len(inds) > cap) and not _bucketed:
+    # launch-DURATION cap: a stiff dt bucket can make one launch run for
+    # minutes (137 individuals x 82k steps measured ~70 s device — the
+    # tunnel watchdog kills the worker past ~1 min). Bound the estimated
+    # voxel-steps per launch; the default assumes the measured
+    # with/without-collision kernel rates with ~2x headroom.
+    work_cap = int(_os.environ.get(
+        "EVOSORO_TPU_LAUNCH_VOXSTEPS",
+        1_500_000_000 if coll_on else 12_000_000_000))
+    mean_occ = max(1.0, float(np.mean(
+        [np.count_nonzero(f["structure"] > 0) for f in all_fields])))
+
+    def _bucket_cap(bval):
+        c = max(batch_pad, min(cap, int(work_cap / (mean_occ * bval))))
+        # slice sizes ride the batch ladder (in batch_pad units) so the
+        # slices of successive generations hit the SAME compiled programs
+        return _ladder_count_down(c // batch_pad) * batch_pad
+
+    need_split = (len(buckets) > 1
+                  or len(inds) > _bucket_cap(buckets[0]))
+    if need_split and not _bucketed:
         # dt-bucketed dispatch: one launch per scan-length bucket, so a
         # single stiff mutant (small dt -> 10x the steps) doesn't make the
         # WHOLE generation ride its scan length — every lane of a shared
@@ -652,8 +695,9 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
                       used_fused=True, buckets=[])
         for bval in buckets:
             group = [ind for ind, s in zip(inds, per_steps) if s == bval]
-            for lo in range(0, len(group), cap):
-                chunk = group[lo:lo + cap]
+            bcap = _bucket_cap(bval)
+            for lo in range(0, len(group), bcap):
+                chunk = group[lo:lo + bcap]
                 _dispatch_batch(sim, env, pop, chunk, print_log,
                                 batch_pad=batch_pad, devices=devices,
                                 _bucketed=True)
@@ -675,7 +719,14 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
     if devices is None:
         devices = jax.devices()
     n_shards = max(1, min(len(devices), B // batch_pad))
-    Bp = int(np.ceil(B / (batch_pad * n_shards)) * batch_pad * n_shards)
+    # batch padded UP the {1, 1.5}·2^k ladder (in batch_pad×n_shards
+    # units): generation sizes drift every generation, and every distinct
+    # padded batch is a fresh XLA program — the 4-gen basic EVOBENCH run
+    # recompiled its rollout programs almost every generation (device_s
+    # 2.2→21 s swings). Ladder waste is ≤33% padded lanes; pad rows reuse
+    # row 0's design and their results are discarded.
+    unit = batch_pad * n_shards
+    Bp = _ladder_count(-(-B // unit)) * unit
 
     structures = np.zeros((Bp,) + tuple(grid), dtype=np.int32)
     voxel_fields = {

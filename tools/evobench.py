@@ -125,7 +125,7 @@ def main():
     ev.evaluate_all(sim, env, pop)
     t_eval = time.time() - t0
     t1 = time.time()
-    opt.select(pop)
+    opt.select(pop)  # gen 0: dominance stats only (algorithms.py run())
     t_sel = time.time() - t1
     gens.append(dict(gen=0, evaluated=len(pop), eval_s=t_eval,
                      select_mutate_s=t_sel, total_s=t_eval + t_sel,
@@ -143,10 +143,13 @@ def main():
         t_e0 = time.time()
         ev.evaluate_all(sim, env, pop)
         t_eval = time.time() - t_e0
+        n_pool = len(pop)  # pre-trim selection pool (pop + children + random)
         t_s0 = time.time()
-        opt.select(pop)
+        # trim like the library loop does (algorithms.py:209-222) — without
+        # the assignment the pool doubles every generation
+        pop.individuals = opt.select(pop)
         t_sel = time.time() - t_s0
-        gens.append(dict(gen=g, evaluated=len(pop), eval_s=t_eval,
+        gens.append(dict(gen=g, evaluated=n_pool, eval_s=t_eval,
                          mutate_s=t_mut,
                          select_mutate_s=t_sel + t_mut,
                          total_s=time.time() - tg,
