@@ -110,7 +110,9 @@ def create_new_children_through_mutation(
 
                     if candidate.genotype[selected_net_idx].allow_neutral_mutations:
                         done = True
-                        clone = copy.deepcopy(candidate)
+                        # candidate is a fresh unaliased copy — adopting it
+                        # directly is equivalent to the reference's re-copy
+                        clone = candidate
                         break
 
                     for name, details in candidate.genotype.to_phenotype_mapping.items():
@@ -119,7 +121,7 @@ def create_new_children_through_mutation(
                         changes = np.array(new != old, dtype=bool)
                         if np.any(changes) and candidate.phenotype.is_valid():
                             done = True
-                            clone = copy.deepcopy(candidate)
+                            clone = candidate
                             break
 
                     if mutation_counter > max_mutation_attempts:

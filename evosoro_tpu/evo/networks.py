@@ -43,9 +43,29 @@ class Network:
         self.direct_encoding = False
 
     def __deepcopy__(self, memo):
+        """Structural copy tuned for the mutation retry loop.
+
+        The generic recursive deepcopy of a networkx graph dominates
+        evolution host time at scale (~70% of a pop-1024 generation's
+        mutation cost). `graph.copy()` rebuilds the structure and copies
+        every node/edge attribute dict one level deep, *sharing* the
+        attribute values — which is exactly as deep as mutation needs:
+        weights/functions/types are rebound (never mutated in place) by
+        every mutation operator, and the cached per-voxel 'state' arrays
+        are only ever rebound by express()/calc_node_state. The one
+        genuinely in-place-mutated array, DirectEncoding.values
+        (values[selection] += ...), gets a real copy.
+        """
         cls = self.__class__
         new = cls.__new__(cls)
-        new.__dict__.update(deepcopy(self.__dict__, memo))
+        memo[id(self)] = new
+        for key, val in self.__dict__.items():
+            if key == "graph":
+                new.graph = val.copy()
+            elif isinstance(val, np.ndarray):
+                new.__dict__[key] = val.copy()
+            else:
+                new.__dict__[key] = deepcopy(val, memo)
         return new
 
     def set_input_node_states(self, *args, **kwargs):
@@ -88,21 +108,41 @@ class CPPN(Network):
             for out in self.output_node_names:
                 self.graph.add_edge(inp, out, weight=0.0)
 
+    # the input grids depend only on the lattice size; cache them so the
+    # mutation retry loop's repeated express() calls don't rebuild the
+    # meshgrid every time. Cached arrays are shared read-only: every
+    # consumer (calc_node_state, the mappers) rebinds rather than writing
+    # in place.
+    _input_state_cache: dict = {}
+
+    @classmethod
+    def _input_states(cls, orig_size_xyz):
+        key = tuple(orig_size_xyz)
+        cached = cls._input_state_cache.get(key)
+        if cached is None:
+            X, Y, Z = orig_size_xyz
+            ix, iy, iz = np.meshgrid(
+                np.arange(X), np.arange(Y), np.arange(Z), indexing="ij"
+            )
+            input_x = normalize(ix.astype(float))
+            input_y = normalize(iy.astype(float))
+            input_z = normalize(iz.astype(float))
+            input_d = normalize(
+                np.sqrt(input_x**2 + input_y**2 + input_z**2)
+            )
+            input_b = np.ones(key)
+            cached = {
+                "x": input_x, "y": input_y, "z": input_z,
+                "d": input_d, "b": input_b,
+            }
+            for arr in cached.values():
+                arr.setflags(write=False)
+            cls._input_state_cache[key] = cached
+        return cached
+
     def set_input_node_states(self, orig_size_xyz):
         """Vectorized input grids (reference loops per voxel: networks.py:69-101)."""
-        X, Y, Z = orig_size_xyz
-        ix, iy, iz = np.meshgrid(
-            np.arange(X), np.arange(Y), np.arange(Z), indexing="ij"
-        )
-        input_x = normalize(ix.astype(float))
-        input_y = normalize(iy.astype(float))
-        input_z = normalize(iz.astype(float))
-        input_d = normalize(
-            np.sqrt(input_x**2 + input_y**2 + input_z**2)
-        )
-        input_b = np.ones(orig_size_xyz)
-        states = {"x": input_x, "y": input_y, "z": input_z, "d": input_d, "b": input_b}
-        for name, state in states.items():
+        for name, state in self._input_states(orig_size_xyz).items():
             if name in self.graph.nodes:
                 self.graph.nodes[name]["state"] = state
                 self.graph.nodes[name]["evaluated"] = True

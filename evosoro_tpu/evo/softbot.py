@@ -41,9 +41,20 @@ class GenotypeToPhenotypeMap:
         return self.mapping[key]
 
     def __deepcopy__(self, memo):
+        """One-level copy of the mapping/dependency dicts, sharing the
+        leaf values. 'state'/'old_state' arrays are only ever rebound
+        (express() assigns fresh arrays; make_material_tree's in-place
+        writes target the fresh -999 array express() just bound), so
+        sharing them across copies is safe and skips the dominant cost
+        of cloning individuals in the mutation retry loop."""
         cls = self.__class__
         new = cls.__new__(cls)
-        new.__dict__.update(deepcopy(self.__dict__, memo))
+        memo[id(self)] = new
+        new.mapping = {k: dict(d) for k, d in self.mapping.items()}
+        new.dependencies = {k: dict(d) for k, d in self.dependencies.items()}
+        for key, val in self.__dict__.items():
+            if key not in ("mapping", "dependencies"):
+                new.__dict__[key] = deepcopy(val, memo)
         return new
 
     def add_map(
@@ -146,6 +157,7 @@ class Genotype:
     def __deepcopy__(self, memo):
         cls = self.__class__
         new = cls.__new__(cls)
+        memo[id(self)] = new
         new.__dict__.update(deepcopy(self.__dict__, memo))
         return new
 
@@ -233,6 +245,7 @@ class Phenotype:
     def __deepcopy__(self, memo):
         cls = self.__class__
         new = cls.__new__(cls)
+        memo[id(self)] = new
         new.__dict__.update(deepcopy(self.__dict__, memo))
         return new
 
@@ -275,7 +288,17 @@ class SoftBot:
     def __deepcopy__(self, memo):
         cls = self.__class__
         new = cls.__new__(cls)
-        new.__dict__.update(deepcopy(self.__dict__, memo))
+        memo[id(self)] = new
+        for key, val in self.__dict__.items():
+            if key in ("objective_dict", "parent_genotype"):
+                # objective_dict is shared population-wide at construction
+                # and never mutated; parent_genotype is write-only
+                # provenance the mutation driver immediately rebinds to
+                # the live parent's genotype — copying either per clone
+                # is pure cost.
+                new.__dict__[key] = val
+            else:
+                new.__dict__[key] = deepcopy(val, memo)
         return new
 
 
