@@ -138,7 +138,7 @@ def _np_max_dt(structure, e_mod_default, stiffness, palette_np,
 def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
                          lattice_dim, sim_params, env_flags_src,
                          interpret=False, with_collision=False, mesh=None,
-                         fluid_mesh=False):
+                         fluid_mesh=False, batch_block=8):
     """Batched evaluation through the fused multi-step Pallas kernel
     (ops/fused_rollout.py): per-individual bodies, envs, dt and stop time
     ride per-robot channels, so the whole generation is ONE kernel launch
@@ -152,7 +152,12 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
     its own grid over its local batch shard (pallas_call has no SPMD rule;
     plain-jit sharding would gather) — the packing/metrics stages are
     elementwise over the batch, so GSPMD shards those automatically. The
-    batch must divide by n_devices x batch_block(8)."""
+    batch must divide by n_devices x batch_block.
+
+    `batch_block`: robots per Pallas grid program. 8 is the throughput
+    sweet spot; _dispatch_batch narrows it (4/2) for big self-collision
+    bodies whose per-individual (batch_block, Vp, Vp) pair blocks would
+    outgrow VMEM at 8 — a narrower block beats the ~9-20x jnp cliff."""
     # the env/sim flag set and physics scalars are baked into the kernel
     # closure, so they MUST be part of the cache key — a same-shape
     # experiment with different features (e.g. fluid on/off) is a
@@ -200,7 +205,7 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
         tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
     key = ("fused", grid_shape, num_steps, tuple(sorted(field_names)),
            float(lattice_dim), interpret, with_collision, feature_key,
-           mesh_key, bool(fluid_mesh))
+           mesh_key, bool(fluid_mesh), int(batch_block))
     if key in _compiled_cache:
         return _compiled_cache[key]
 
@@ -287,13 +292,14 @@ def make_fused_evaluator(palette, grid_shape, num_steps, field_names,
 
     # measured on-chip: wider batch blocks gain only ~3% even for 1-2-tile
     # bodies (the per-step op chain pipelines across grid programs), while
-    # padding small pops to wider blocks costs real work — keep 8
+    # padding small pops to wider blocks costs real work — keep 8 except
+    # where the caller narrows it for VMEM
     def _kernel_call(sp, bp, rows, collision_packed, ss_packed=None):
         return fr._fused_call(
             sp, bp, rows, None, collision_packed, ss_packed,
             num_steps=num_steps,
             grid_shape=grid_shape,
-            batch_block=8,
+            batch_block=batch_block,
             n_knots=0,
             interpret=interpret,
             scalars=tuple(sorted(scalars.items())),
@@ -658,8 +664,21 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
 
     cap = len(inds)
     coll_on = bool(sim_params_for_devo.self_collisions_enabled)
+    # kernel lane count, including the one-voxel corner shell the in-kernel
+    # mesh-drag stencil pads onto fluid grids further down
+    _mesh_pad = int(bool(getattr(all_env[0], "fluid_environment", False))
+                    and getattr(env, "drag_model", "mesh") == "mesh")
+    Vp_est = -(-int(np.prod([g + _mesh_pad for g in grid])) // 128) * 128
     if coll_on:
-        Vp_est = -(-int(np.prod(grid)) // 128) * 128
+        # per-individual dense pair fields ride a (batch_block, Vp, Vp)
+        # VMEM block; at batch_block=8 that fits up to Vp=1024 (104.8M
+        # scoped VMEM measured, just under v5e's 128M). Bigger bodies
+        # narrow the block instead of falling off the fused path — the
+        # jnp fallback costs ~9-20x (FALLBACK.json).
+        if Vp_est > 1536:
+            batch_pad = 2
+        elif Vp_est > 1024:
+            batch_pad = 4
         budget = int(_os.environ.get("EVOSORO_TPU_PAIR_BYTES", 2 ** 30))
         cap = max(batch_pad, budget // max(1, Vp_est * Vp_est * 4))
 
@@ -827,19 +846,20 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
     can_fuse = fused_supports(probe_body, sim_params, all_env[0])
     if with_collision:
         # the evaluator streams PER-INDIVIDUAL dense pair fields as a
-        # (batch_block=8, Vp, Vp) VMEM block — supports()'s 2048-lane bound
-        # only holds for the shared-table (1, Vp, Vp) case
+        # (batch_block, Vp, Vp) VMEM block; batch_pad was narrowed above
+        # (8/4/2) to keep the block inside VMEM up to supports()'s
+        # 2048-lane bound
         Vp_probe = -(-int(np.prod(grid)) // 128) * 128
-        can_fuse = can_fuse and Vp_probe <= 1024
+        can_fuse = can_fuse and Vp_probe <= 2048
     use_fused = can_fuse and (force == "1" or (on_tpu and force != "0"))
     if not use_fused and on_tpu and force != "0":
         # the jnp-scan fallback runs ~9x slower on-chip (FALLBACK.json);
         # tell the user which side of the cliff this generation is on and why
         reasons = []
-        if with_collision and -(-int(np.prod(grid)) // 128) * 128 > 1024:
+        if with_collision and -(-int(np.prod(grid)) // 128) * 128 > 2048:
             reasons.append(
-                "self-collision with >1024 lanes (per-individual pair "
-                "fields outgrow VMEM)")
+                "self-collision with >2048 lanes (per-individual pair "
+                "fields outgrow VMEM even at batch_block=2)")
         if not fused_supports(probe_body, sim_params, all_env[0]):
             reasons.append("outside the fused kernel envelope "
                            "(ops.fused_rollout.supports)")
@@ -905,7 +925,7 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
                 palette, tuple(grid), n_steps, tuple(field_names), L,
                 sim_params, all_env[0], interpret=not on_tpu,
                 with_collision=with_collision, mesh=eval_mesh,
-                fluid_mesh=use_mesh_drag,
+                fluid_mesh=use_mesh_drag, batch_block=batch_pad,
             )
         else:
             fn = make_batched_evaluator(

@@ -850,7 +850,11 @@ def _make_kernel(
                  else ())
 
         def stat(k):
-            return stats_in[:, k:k + 1]  # (b, 1)
+            # stats ride a (1, b, C_STAT) block: the leading singleton keeps
+            # the last-two block dims (b, C_STAT) equal to the array's, so
+            # Mosaic's 8x128 block-tiling rule holds for ANY batch_block
+            # (narrowed 4/2 blocks for big self-collision bodies included)
+            return stats_in[0, :, k:k + 1]  # (b, 1)
 
         t0 = stat(_S_TIME)
         div0 = stat(_S_DIV)
@@ -2010,22 +2014,22 @@ def _make_kernel(
         for k in range(_DEVO_DYN + 4, C_S):
             state_out[:, k, :] = zero
 
-        stats_out[:, :] = stats_in[:, :]
-        stats_out[:, _S_TIME:_S_TIME + 1] = t
-        stats_out[:, _S_DIV:_S_DIV + 1] = div_f
+        stats_out[0, :, :] = stats_in[0, :, :]
+        stats_out[0, :, _S_TIME:_S_TIME + 1] = t
+        stats_out[0, :, _S_DIV:_S_DIV + 1] = div_f
         for c in range(3):
-            stats_out[:, _S_INICM + c:_S_INICM + c + 1] = ini[c]
-        stats_out[:, _S_CAPT:_S_CAPT + 1] = capt_f
+            stats_out[0, :, _S_INICM + c:_S_INICM + c + 1] = ini[c]
+        stats_out[0, :, _S_CAPT:_S_CAPT + 1] = capt_f
         if flags.get("equilibrium"):
             for k in range(6):
-                stats_out[:, _S_KE + k:_S_KE + k + 1] = ke_f[k]
+                stats_out[0, :, _S_KE + k:_S_KE + k + 1] = ke_f[k]
         if vol_outer:
-            stats_out[:, _S_DT:_S_DT + 1] = dt_f[0]
+            stats_out[0, :, _S_DT:_S_DT + 1] = dt_f[0]
         if n_src:
             for k in range(n_src):
-                stats_out[:, _S_SRC + k:_S_SRC + k + 1] = srcmin_f[k]
-                stats_out[:, _S_SRC + 3 + k:_S_SRC + 3 + k + 1] = srcsum_f[k]
-            stats_out[:, _S_SRC + 6:_S_SRC + 7] = srccnt_f
+                stats_out[0, :, _S_SRC + k:_S_SRC + k + 1] = srcmin_f[k]
+                stats_out[0, :, _S_SRC + 3 + k:_S_SRC + 3 + k + 1] = srcsum_f[k]
+            stats_out[0, :, _S_SRC + 6:_S_SRC + 7] = srccnt_f
         if feat_on:
             for off, val in zip(
                 (_S_FELL, _S_PCMY, _S_PVOL, _S_ND, _S_NDRG, _S_NDFZ,
@@ -2034,7 +2038,7 @@ def _make_kernel(
                  _S_NCAP, _S_EOLY, _S_EOLCAP),
                 feat_f,
             ):
-                stats_out[:, off:off + 1] = val
+                stats_out[0, :, off:off + 1] = val
 
     return kernel
 
@@ -2619,8 +2623,12 @@ def _fused_call(
         (lambda i: (0, 0, 0)) if shared_body else (lambda i: (i, 0, 0)),
         memory_space=pltpu.VMEM,
     )
+    # stats as (B//b, b, C_STAT): block (1, b, C_STAT) keeps the last two
+    # block dims equal to the array dims, satisfying Mosaic's tiling rule
+    # for any batch_block (a (b, C_STAT) 2-D block needs b % 8 == 0)
+    stats = stats.reshape(B // b, b, C_STAT)
     stats_spec = pl.BlockSpec(
-        (b, C_STAT), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (1, b, C_STAT), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     in_specs = [state_spec, body_spec]
     inputs = [state_packed, body_packed]
@@ -2686,7 +2694,7 @@ def _fused_call(
             * 1024 * 1024
         ),
     )(*inputs)
-    return out_state, out_stats
+    return out_state, out_stats.reshape(B, C_STAT)
 
 
 def _diff_envelope_ok(flags, scalars) -> bool:
@@ -2762,8 +2770,10 @@ def _fused_bwd_call(
         (lambda i: (0, 0, 0)) if shared_body else (lambda i: (i, 0, 0)),
         memory_space=pltpu.VMEM,
     )
+    # same (1, b, C_STAT) stats block convention as the forward call
+    stats = stats.reshape(B // b, b, C_STAT)
     stats_spec = pl.BlockSpec(
-        (b, C_STAT), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (1, b, C_STAT), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     ctrl_spec = pl.BlockSpec(
         (b, n_knots, Vp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

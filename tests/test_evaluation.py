@@ -170,11 +170,13 @@ def test_fluid_default_uses_mesh_drag(_restore_env):
     evaluate_all(sim, env, pop)
     fits = _fitnesses(pop)
     assert np.isfinite(fits).all()
-    # a fused fluid-mesh evaluator must be what got compiled (key[-1] is the
-    # fluid_mesh flag; the grid carries the +1 corner shell)
-    assert any(k[0] == "fused" and k[-1] is True and k[1] == (5, 5, 4)
+    # a fused fluid-mesh evaluator must be what got compiled (key[9] is the
+    # fluid_mesh flag — see make_fused_evaluator's key tuple; the grid
+    # carries the +1 corner shell)
+    assert any(k[0] == "fused" and k[9] is True and k[1] == (5, 5, 4)
                for k in ev._compiled_cache
-               if isinstance(k, tuple) and k), "no fused fluid-mesh evaluator"
+               if isinstance(k, tuple) and len(k) > 9), \
+        "no fused fluid-mesh evaluator"
 
     # cross-check one individual against a direct mesh-drag rollout
     ind = next(i for i in pop if i.phenotype.is_valid())
@@ -355,4 +357,80 @@ def test_fused_evaluator_mesh_fluid_matches_jnp(_restore_env):
 
     assert np.isfinite(fits_jnp).all()
     assert np.max(np.abs(fits_jnp)) > 0
+    np.testing.assert_allclose(fits_fused, fits_jnp, rtol=5e-3, atol=1e-6)
+
+
+class _BigGenotype(Genotype):
+    """10x10x11-lattice direct encoding: 1100 voxels -> Vp=1152 kernel
+    lanes, past the 1024-lane bound where batch_block=8 per-individual
+    pair fields outgrow VMEM."""
+
+    SIZE = (10, 10, 11)
+
+    def __init__(self):
+        super().__init__(orig_size_xyz=self.SIZE)
+        self.add_network(DirectEncoding("material", self.SIZE,
+                                        symmetric=False, func=_quantize_mat))
+        self.to_phenotype_mapping.add_map(
+            name="material", tag="<Data>", output_type=int)
+        self.add_network(DirectEncoding("phase", self.SIZE, symmetric=False))
+        self.to_phenotype_mapping.add_map(
+            name="phase", tag="<PhaseOffset>", output_type=float)
+
+
+def _quantize_mat(values):
+    # mostly-full soft body: materials 1/3/4 only (no bone -> bigger dt,
+    # fewer interpreter-mode steps)
+    out = np.ones_like(values)
+    out[values > 0.0] = 3
+    out[values < -0.5] = 4
+    return out
+
+
+class _BigPhenotype(Phenotype):
+    def is_valid(self):
+        for name, details in self.genotype.to_phenotype_mapping.items():
+            if np.isnan(details["state"]).any():
+                return False
+        return True
+
+
+def test_fused_evaluator_collision_over_1024_lanes(_restore_env):
+    """Self-collision bodies between 1024 and 2048 kernel lanes must STAY
+    on the fused path by narrowing batch_block (8 -> 4/2) instead of
+    falling off the ~9-20x jnp cliff, and must agree with the jnp
+    reference path. (Closes FALLBACK.json's last remaining cliff for
+    grids up to 2048 lanes.)"""
+    from evosoro_tpu.evo import evaluation as ev
+
+    sim = Sim(dt_frac=0.9, simulation_time=0.004,
+              fitness_eval_init_time=0.001)
+    assert sim.to_sim_params().self_collisions_enabled
+    env = Env(time_between_traces=0)
+
+    def make():
+        random.seed(5)
+        np.random.seed(5)
+        objectives = ObjectiveDict()
+        objectives.add_objective(name="fitness", maximize=True,
+                                 tag="<NormFinalDist>")
+        objectives.add_objective(name="age", maximize=False, tag=None)
+        return Population(objectives, _BigGenotype, _BigPhenotype,
+                          pop_size=4)
+
+    pop_a = make()
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "0"
+    evaluate_all(sim, env, pop_a)
+    fits_jnp = _fitnesses(pop_a)
+
+    pop_b = make()
+    pop_b.already_evaluated = {}
+    os.environ["EVOSORO_TPU_FUSED_EVAL"] = "1"  # fused, interpret on CPU
+    evaluate_all(sim, env, pop_b)
+    fits_fused = _fitnesses(pop_b)
+    assert ev.LAST_DISPATCH_TIMING.get("used_fused") is True
+    # the dispatcher must have narrowed the block for the 1152-lane body
+    assert ev.LAST_DISPATCH_TIMING.get("batch_padded") == 4
+
+    assert np.isfinite(fits_jnp).all()
     np.testing.assert_allclose(fits_fused, fits_jnp, rtol=5e-3, atol=1e-6)

@@ -154,16 +154,28 @@ def mdl_data_cliff(batch=128, n=10, steps=200):
 
 
 def big_collision_fallback(batch=32, n=12, steps=100):
-    """The one REMAINING evaluator fallback: >1024-lane self-collision."""
-    from evosoro_tpu.core.collision import attach_collision_system
+    """>1024-lane self-collision — the cliff r5 closed by narrowing the
+    kernel batch block (8 -> 4/2) so per-individual dense pair fields
+    stay inside VMEM up to 2048 lanes (evaluation.py _dispatch_batch).
+    Measures the evaluator's own fused kernel (per-individual pair
+    fields at the narrowed block) against the jnp path it used to fall
+    back to."""
+    from evosoro_tpu.core.collision import (
+        attach_collision_system,
+        build_collision_system,
+    )
+    from evosoro_tpu.evo.evaluation import make_fused_evaluator
+    # the ops package re-exports a FUNCTION named fused_rollout, which
+    # shadows the submodule on attribute-style imports — go via sys.modules
+    import evosoro_tpu.ops.fused_rollout  # noqa: F401
+    fr = sys.modules["evosoro_tpu.ops.fused_rollout"]
 
     rng = np.random.default_rng(2)
     s = rng.integers(1, 5, size=(n, n, n)).astype(np.int32)
     s[rng.random(s.shape) < 0.3] = 0
     phase = rng.uniform(-1, 1, size=s.shape)
-    body = attach_collision_system(build_body(
-        s, palette_from_list(evosoro_default_palette()),
-        phase_offset=phase))
+    pal = palette_from_list(evosoro_default_palette())
+    body = attach_collision_system(build_body(s, pal, phase_offset=phase))
     sim = SimParams(self_collisions_enabled=True)
     env = EnvParams()
     dt = calc_max_dt(body) * sim.dt_frac
@@ -174,12 +186,40 @@ def big_collision_fallback(batch=32, n=12, steps=100):
     t_jnp = _jnp_run(body, sim, env, batched, dt, steps)
     vs = batch * n_occ * steps
     Vp = -(-n ** 3 // 128) * 128
+    bb = 2 if Vp > 1536 else (4 if Vp > 1024 else 8)
+
+    # the evaluator's fused path: per-individual (bb, Vp, Vp) pair blocks
+    L = 0.01
+    fn = make_fused_evaluator(
+        pal, (n, n, n), steps, ("phase_offset",), L, sim, env,
+        with_collision=True, batch_block=bb)
+    e_vox = np.asarray(pal.elastic_mod)[s]
+    colsys = build_collision_system(s, e_vox, L)
+    col_packed = jnp.asarray(np.broadcast_to(
+        np.asarray(fr.pack_collision(colsys, Vp, (n, n, n))),
+        (batch, Vp, Vp)))
+    structures = jnp.asarray(np.broadcast_to(s, (batch, n, n, n)))
+    phases = jnp.asarray(np.broadcast_to(
+        phase.astype(np.float32), (batch, n, n, n)))
+    env_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(
+            jnp.asarray(x, jnp.float32), (batch,) + np.shape(x)), env)
+    stop_time = float(dt) * steps * 2.0
+
+    def run_fused(st, ph, cp):
+        return fn(st, {"phase_offset": ph}, None, env_b, stop_time, cp)[
+            "norm_final_dist"]
+
+    t_fused = _time(run_fused, structures, phases, col_packed)
     return dict(
         batch=batch, occupied=n_occ, steps=steps, lanes=Vp,
+        batch_block=bb,
+        fused_voxel_steps_per_sec=vs / t_fused,
         jnp_voxel_steps_per_sec=vs / t_jnp,
-        note=("per-individual dense pair fields above 1024 lanes outgrow "
-              "VMEM at batch_block=8; the evaluator warns and routes these "
-              "generations to the jnp path (evaluation.py)"),
+        fused_over_jnp_x=t_jnp / t_fused,
+        note=("r5: per-individual pair fields above 1024 lanes ride a "
+              "NARROWED batch block (4/2) instead of leaving the fused "
+              "path; >2048 lanes still fall back to jnp"),
     )
 
 
