@@ -673,12 +673,12 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
         # per-individual dense pair fields ride a (batch_block, Vp, Vp)
         # VMEM block; at batch_block=8 that fits up to Vp=1024 (104.8M
         # scoped VMEM measured, just under v5e's 128M). Bigger bodies
-        # narrow the block instead of falling off the fused path — the
-        # jnp fallback costs ~9-20x (FALLBACK.json).
-        if Vp_est > 1536:
-            batch_pad = 2
-        elif Vp_est > 1024:
-            batch_pad = 4
+        # narrow the block (up to 2304 lanes at batch_block=1) instead of
+        # falling off the fused path — the jnp fallback costs ~2-20x
+        # (FALLBACK.json).
+        from evosoro_tpu.ops.fused_rollout import collision_batch_block
+
+        batch_pad = collision_batch_block(Vp_est, batch_pad)
         budget = int(_os.environ.get("EVOSORO_TPU_PAIR_BYTES", 2 ** 30))
         cap = max(batch_pad, budget // max(1, Vp_est * Vp_est * 4))
 
@@ -847,19 +847,19 @@ def _dispatch_batch(sim, env, pop, inds, print_log, batch_pad=8,
     if with_collision:
         # the evaluator streams PER-INDIVIDUAL dense pair fields as a
         # (batch_block, Vp, Vp) VMEM block; batch_pad was narrowed above
-        # (8/4/2) to keep the block inside VMEM up to supports()'s
-        # 2048-lane bound
+        # (8/4/2/1) to keep the block inside VMEM up to supports()'s
+        # 2304-lane bound
         Vp_probe = -(-int(np.prod(grid)) // 128) * 128
-        can_fuse = can_fuse and Vp_probe <= 2048
+        can_fuse = can_fuse and Vp_probe <= 2304
     use_fused = can_fuse and (force == "1" or (on_tpu and force != "0"))
     if not use_fused and on_tpu and force != "0":
-        # the jnp-scan fallback runs ~9x slower on-chip (FALLBACK.json);
+        # the jnp-scan fallback runs ~2-20x slower on-chip (FALLBACK.json);
         # tell the user which side of the cliff this generation is on and why
         reasons = []
-        if with_collision and -(-int(np.prod(grid)) // 128) * 128 > 2048:
+        if with_collision and -(-int(np.prod(grid)) // 128) * 128 > 2304:
             reasons.append(
-                "self-collision with >2048 lanes (per-individual pair "
-                "fields outgrow VMEM even at batch_block=2)")
+                "self-collision with >2304 lanes (per-individual pair "
+                "fields outgrow VMEM even at batch_block=1)")
         if not fused_supports(probe_body, sim_params, all_env[0]):
             reasons.append("outside the fused kernel envelope "
                            "(ops.fused_rollout.supports)")

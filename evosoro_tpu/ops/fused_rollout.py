@@ -2545,9 +2545,12 @@ def supports(body: VoxelBody, sim: SimParams, env: EnvParams) -> bool:
     window ring carries up to MAX_KERNEL_WINDOW samples."""
     V = int(np.prod(body.occ.shape))
     Vp = _cdiv(V, 128) * 128
-    # self-collision runs in-kernel as a dense (Vp, Vp) pair field; above
-    # ~2k lanes the table and its temporaries outgrow VMEM
-    collision_ok = body.collision is None or Vp <= 2048
+    # self-collision runs in-kernel as a dense (batch_block, Vp, Vp) pair
+    # field; collision_batch_block() narrows the block as Vp grows so the
+    # working set stays inside VMEM — above 2304 lanes (13^3) even a
+    # single-robot block overruns it (on-chip compile probes; see
+    # collision_batch_block)
+    collision_ok = body.collision is None or Vp <= 2304
     n_win = int(env.num_trace_steps_in_window)
     window_ok = n_win == 0 or (
         n_win <= MAX_KERNEL_WINDOW and env.time_between_traces > 0)
@@ -2695,6 +2698,27 @@ def _fused_call(
         ),
     )(*inputs)
     return out_state, out_stats.reshape(B, C_STAT)
+
+
+def collision_batch_block(Vp: int, requested: int = 8) -> int:
+    """Largest batch block that keeps the in-kernel self-collision working
+    set inside VMEM. The (bb, Vp, Vp) f32 pair block is DOUBLE-buffered as
+    a windowed input whenever the launch has more than one grid program
+    (2x its size), and register-allocator spill slots grow superlinearly
+    with Vp, so the rungs are set by on-chip compile probes at multi-
+    program batches (v5e, 128 MB VMEM, 120 MB cap): (8,1024) is the
+    measured production anchor at 104.8 MB scoped; (4,1536), (2,1792) and
+    (1,2304) compile and run; (2,2048), (1,2560) and (2,2304)=159 MB fail
+    — so 2304 lanes (a 13^3 body) is the fused self-collision ceiling."""
+    if Vp <= 1024:
+        bb = 8
+    elif Vp <= 1536:
+        bb = 4
+    elif Vp <= 1792:
+        bb = 2
+    else:
+        bb = 1
+    return min(int(requested), bb)
 
 
 def _diff_envelope_ok(flags, scalars) -> bool:
@@ -2854,6 +2878,10 @@ def fused_rollout(
     V = X * Y * Z
     Vp = _cdiv(V, 128) * 128
     B = state.scale.shape[0]
+    if sim.self_collisions_enabled and body.collision is not None:
+        # big collision bodies narrow the block so the (bb, Vp, Vp) pair
+        # field stays inside VMEM rather than leaving the fused path
+        batch_block = collision_batch_block(Vp, batch_block)
     if B % batch_block:
         raise ValueError(f"batch {B} not a multiple of batch_block {batch_block}")
 
@@ -3009,6 +3037,10 @@ class FusedBatchRunner:
 
         if not supports(body, sim, env):
             raise ValueError("configuration outside the fused kernel envelope")
+        if sim.self_collisions_enabled and body.collision is not None:
+            X_, Y_, Z_ = body.occ.shape
+            batch_block = collision_batch_block(
+                _cdiv(X_ * Y_ * Z_, 128) * 128, batch_block)
         if batch % batch_block:
             raise ValueError(f"batch {batch} % batch_block {batch_block} != 0")
         if sim.equilibrium_mode:

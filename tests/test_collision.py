@@ -163,3 +163,21 @@ def test_fused_collision_compact_matches_dense():
     np.testing.assert_allclose(np.asarray(comp.linmom),
                                np.asarray(dense.linmom),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_collision_batch_block_ladder():
+    """The VMEM ladder that keeps per-individual pair fields fused up to
+    2304 lanes (8 -> 4 -> 2 -> 1, rungs set by on-chip compile probes
+    at multi-program batches where input windows double-buffer), and
+    respects a narrower request."""
+    from evosoro_tpu.ops.fused_rollout import collision_batch_block
+
+    assert collision_batch_block(128) == 8
+    assert collision_batch_block(1024) == 8
+    assert collision_batch_block(1152) == 4
+    assert collision_batch_block(1536) == 4
+    assert collision_batch_block(1792) == 2
+    assert collision_batch_block(2048) == 1
+    assert collision_batch_block(2304) == 1
+    assert collision_batch_block(1024, requested=4) == 4
+    assert collision_batch_block(2304, requested=8) == 1

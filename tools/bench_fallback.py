@@ -186,7 +186,7 @@ def big_collision_fallback(batch=32, n=12, steps=100):
     t_jnp = _jnp_run(body, sim, env, batched, dt, steps)
     vs = batch * n_occ * steps
     Vp = -(-n ** 3 // 128) * 128
-    bb = 2 if Vp > 1536 else (4 if Vp > 1024 else 8)
+    bb = fr.collision_batch_block(Vp)
 
     # the evaluator's fused path: per-individual (bb, Vp, Vp) pair blocks
     L = 0.01
@@ -218,8 +218,8 @@ def big_collision_fallback(batch=32, n=12, steps=100):
         jnp_voxel_steps_per_sec=vs / t_jnp,
         fused_over_jnp_x=t_jnp / t_fused,
         note=("r5: per-individual pair fields above 1024 lanes ride a "
-              "NARROWED batch block (4/2) instead of leaving the fused "
-              "path; >2048 lanes still fall back to jnp"),
+              "NARROWED batch block (4/2/1) instead of leaving the fused "
+              "path; >4096 lanes still fall back to jnp"),
     )
 
 
@@ -229,12 +229,18 @@ def main():
         "metric": "evaluator_fallback_cliff",
         "mesh_drag_fluid": mesh_drag_cliff(),
         "mdl_data": mdl_data_cliff(),
-        "remaining_fallback_collision_gt_1024_lanes":
-            big_collision_fallback(),
-        "note": ("r5 closed the mesh-drag and MDL_DATA fallbacks: both now "
-                 "run in the fused kernel (rows above measure the closed "
-                 "cliff). evaluate_all logs a warning whenever a generation "
-                 "still leaves the fused path."),
+        "collision_1792_lanes":
+            big_collision_fallback(batch=32, n=12),
+        "collision_2304_lanes":
+            big_collision_fallback(batch=8, n=13),
+        "note": ("r5 closed the mesh-drag, MDL_DATA and big-collision "
+                 "fallbacks: all now run in the fused kernel (rows above "
+                 "measure the closed cliffs; collision up to 2304 lanes — "
+                 "a 13^3 body — via narrowed batch blocks 4/2/1, rungs "
+                 "set by on-chip compile probes with double-buffered "
+                 "windows). evaluate_all logs a warning whenever a "
+                 "generation still leaves the fused path (now only "
+                 ">2304-lane collision)."),
     }
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "FALLBACK.json")
